@@ -1,0 +1,9 @@
+from gaplac_tpu.dsl.ast import (
+    Cat, Constant, GPComponent, GPOperation, Leaf, Linear, Noise, OU, SqExp,
+    leaves, sum_of_products,
+)
+from gaplac_tpu.dsl.parser import (
+    FormulaError, LikelihoodSpec, Spec, parse_formula, parse_kernel_expr,
+    parse_likelihood, GAUSSIAN,
+)
+from gaplac_tpu.dsl.ranges import RangeError, default_range, parse_at_ranges

@@ -1,0 +1,124 @@
+"""``--at`` range parser — ``"x=-5:0.1:5; g=[1,2]; n = rand(Uniform(-5,5), 50)"``.
+
+Reference parity: /root/reference/src/interface.jl:44-66 ``Meta.parse`` +
+eval's the assignments as Julia code.  We support the documented subset with
+a real parser (SURVEY.md §2.12 "dsl" row):
+
+    assignments := assignment ((";" | newline) assignment)*
+    assignment  := var "=" value
+    value       := range | scalar | list | randcall
+    range       := num ":" num [":" num]        # Julia a:b / a:step:b, INCLUSIVE
+    list        := "[" num ("," num)* "]"
+    randcall    := "rand" "(" dist "," int ")"
+    dist        := ("Uniform"|"Normal") "(" num "," num ")"
+
+Unspecified formula variables get per-kernel default ranges
+(ref: _default_range, abstractgp_translations.jl:3-6): SqExp/OU -> 1:10,
+Linear -> -3:0.1:3, Cat -> [1,2,3].
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from gaplac_tpu.dsl.ast import Cat, Constant, GPComponent, Leaf, Linear, Noise, OU, SqExp, leaves
+
+
+class RangeError(ValueError):
+    pass
+
+
+_NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+
+
+def _julia_range(start: float, step: float, stop: float) -> np.ndarray:
+    """Julia's ``a:s:b`` — inclusive of ``b`` when it lands on the grid
+    (within fp tolerance), e.g. -5:0.1:5 has 101 points."""
+    if step == 0:
+        raise RangeError("Range step must be nonzero")
+    n = int(np.floor((stop - start) / step + 1e-9)) + 1
+    if n <= 0:
+        return np.array([], dtype=float)
+    return start + step * np.arange(n, dtype=float)
+
+
+def _parse_value(text: str, rng: np.random.Generator) -> np.ndarray:
+    text = text.strip()
+    # rand(Dist(a, b), n)
+    m = re.fullmatch(
+        rf"rand\s*\(\s*(Uniform|Normal)\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*,\s*(\d+)\s*\)",
+        text,
+    )
+    if m:
+        dist, a, b, n = m.group(1), float(m.group(2)), float(m.group(3)), int(m.group(4))
+        if dist == "Uniform":
+            return rng.uniform(a, b, size=n)
+        return rng.normal(a, b, size=n)
+    # [a, b, c]
+    m = re.fullmatch(r"\[(.*)\]", text)
+    if m:
+        items = [s for s in m.group(1).split(",") if s.strip()]
+        try:
+            return np.array([float(s) for s in items], dtype=float)
+        except ValueError as e:
+            raise RangeError(f"Invalid list {text!r}") from e
+    # a:s:b
+    m = re.fullmatch(rf"({_NUM})\s*:\s*({_NUM})\s*:\s*({_NUM})", text)
+    if m:
+        return _julia_range(float(m.group(1)), float(m.group(2)), float(m.group(3)))
+    # a:b (step 1)
+    m = re.fullmatch(rf"({_NUM})\s*:\s*({_NUM})", text)
+    if m:
+        return _julia_range(float(m.group(1)), 1.0, float(m.group(2)))
+    # scalar
+    m = re.fullmatch(_NUM, text)
+    if m:
+        return np.array([float(text)], dtype=float)
+    raise RangeError(
+        f"Cannot parse range value {text!r} "
+        f"(supported: a:b, a:step:b, scalar, [v1,v2,...], rand(Uniform(a,b), n), "
+        f"rand(Normal(mu,sd), n))"
+    )
+
+
+def default_range(leaf: Leaf) -> np.ndarray:
+    """Per-kernel default evaluation range (ref: abstractgp_translations.jl:3-6)."""
+    if isinstance(leaf, (SqExp, OU)):
+        return np.arange(1.0, 11.0)
+    if isinstance(leaf, Linear):
+        return _julia_range(-3.0, 0.1, 3.0)
+    if isinstance(leaf, Cat):
+        return np.array([1.0, 2.0, 3.0])
+    if isinstance(leaf, (Noise, Constant)):
+        return np.arange(1.0, 11.0)
+    raise RangeError(f"No default range for {type(leaf).__name__}")
+
+
+def parse_at_ranges(
+    at: str,
+    formula: Optional[GPComponent] = None,
+    seed: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Parse the ``--at`` argument into {var: values}; unspecified formula
+    variables are filled from per-kernel defaults (ref: getatrange,
+    interface.jl:44-66). Assignments separate on ';' or newlines (legacy DSL
+    used ';', bin/old_options.jl:87)."""
+    atdict: Dict[str, np.ndarray] = {}
+    rng = np.random.default_rng(seed)
+    for seg in re.split(r"[;\n]", at):
+        seg = seg.strip()
+        if not seg:
+            continue
+        m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\s*=\s*(.*)", seg, re.DOTALL)
+        if m is None:
+            raise RangeError(f"Only assignments allowed in `--at` argument (got {seg!r})")
+        atdict[m.group(1)] = _parse_value(m.group(2), rng)
+    if formula is not None:
+        for leaf in leaves(formula):
+            for var in leaf.varnames():
+                if var not in atdict:
+                    atdict[var] = default_range(leaf)
+    return atdict

@@ -1,0 +1,235 @@
+"""Covariance library + formula compiler: AST -> pure JAX gram builders.
+
+Replaces the reference's L1 boundary (AbstractGPs/KernelFunctions): leaf
+kernels (ref: makekernel, abstractgp_translations.jl:8-15), the
+SelectTransform column-assignment semantics (abstractgp_translations.jl:45-69)
+and kernel-tree flattening (_walk_kernel, :17-19).
+
+Semantics (SURVEY.md §2.2): the formula's leaves, left-to-right, define the
+input-matrix columns; the compiled kernel is a SUM over product terms, each
+term the elementwise PRODUCT of its leaves' 1-D kernels applied to their own
+columns (ANOVA-style tensor product — never two kernels on one column):
+
+    SqExp(:t) * Cat(:g) + Linear(:x)
+      => k((t,g,x),(t',g',x')) = SqExp(t,t') * Cat(g,g') + Linear(x,x')
+
+Design: ``CompiledKernel`` is a static description (hashable pytree-free
+metadata); ``gram(params, X1, X2)`` is a pure jit-able/vmappable/gradable
+function of a flat ``(n_leaves,)`` hyperparameter vector.  Hyperparameter
+override for inference (ref: kernel(eq; hyperparams=...), mcmc.jl:33)
+becomes a functional parameter-vector update — no kernel rebuilding per
+density evaluation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaplac_tpu.dsl.ast import (
+    Cat,
+    Constant,
+    GPComponent,
+    Leaf,
+    Linear,
+    Noise,
+    OU,
+    SqExp,
+    leaves as ast_leaves,
+    sum_of_products,
+)
+
+# Leaf kind codes (static ints baked into the compiled closure)
+K_SQEXP, K_OU, K_LINEAR, K_CAT, K_NOISE, K_CONST = range(6)
+
+_KIND_OF = {
+    SqExp: K_SQEXP,
+    OU: K_OU,
+    Linear: K_LINEAR,
+    Cat: K_CAT,
+    Noise: K_NOISE,
+    Constant: K_CONST,
+}
+
+
+def _leaf_cross(kind: int, x1: jnp.ndarray, x2: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """1-D cross covariance block k(x1[:,None], x2[None,:]) for one leaf.
+
+    ``p`` is the leaf's scalar hyperparameter (l / c / s2; ignored for Cat).
+    Definitions match KernelFunctions numerically
+    (abstractgp_translations.jl:8-15):
+      SqExp : exp(-d^2 / (2 l^2))
+      OU    : exp(-|d| / l)
+      Linear: x*x' + c
+      Cat   : 1[x == x']
+      Noise : s2 * 1[x == x']   (column-keyed white noise)
+      Const : c
+    """
+    d = x1[:, None] - x2[None, :]
+    if kind == K_SQEXP:
+        inv2l2 = 0.5 / (p * p)
+        return jnp.exp(-d * d * inv2l2)
+    if kind == K_OU:
+        return jnp.exp(-jnp.abs(d) / p)
+    if kind == K_LINEAR:
+        return x1[:, None] * x2[None, :] + p
+    if kind == K_CAT:
+        return (d == 0).astype(x1.dtype)
+    if kind == K_NOISE:
+        return p * (d == 0).astype(x1.dtype)
+    if kind == K_CONST:
+        return jnp.broadcast_to(p, (x1.shape[0], x2.shape[0])).astype(x1.dtype)
+    raise ValueError(f"unknown leaf kind {kind}")
+
+
+def _leaf_diag(kind: int, x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal of the symmetric gram for one leaf: k(x_i, x_i)."""
+    n = x.shape[0]
+    one = jnp.ones((n,), x.dtype)
+    if kind in (K_SQEXP, K_OU, K_CAT):
+        return one
+    if kind == K_LINEAR:
+        return x * x + p
+    if kind == K_NOISE:
+        return p * one
+    if kind == K_CONST:
+        return p * one
+    raise ValueError(f"unknown leaf kind {kind}")
+
+
+@dataclass(frozen=True)
+class CompiledKernel:
+    """Static compilation of a formula AST (hashable; safe as a jit static arg).
+
+    Fields:
+      varnames : data columns, formula left-to-right order (gp_parts.jl:53)
+      kinds    : per-leaf kernel kind code
+      cols     : per-leaf input-matrix column (or -1 for bare Noise/Constant,
+                 which key on row identity instead of a column)
+      terms    : sum-of-products structure as leaf-index tuples
+      defaults : per-leaf default hyperparameter values
+      leaf_vars: per-leaf varname ("" for bare Noise/Constant)
+    """
+
+    varnames: Tuple[str, ...]
+    kinds: Tuple[int, ...]
+    cols: Tuple[int, ...]
+    terms: Tuple[Tuple[int, ...], ...]
+    defaults: Tuple[float, ...]
+    leaf_vars: Tuple[str, ...]
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def compile(formula: GPComponent) -> "CompiledKernel":
+        lvs = ast_leaves(formula)
+        varnames: list[str] = []
+        cols: list[int] = []
+        for lf in lvs:
+            if lf.varnames():
+                cols.append(len(varnames))
+                varnames.append(lf.varname)
+            else:
+                cols.append(-1)
+        index_of = {id(lf): i for i, lf in enumerate(lvs)}
+        terms = tuple(
+            tuple(index_of[id(lf)] for lf in term) for term in sum_of_products(formula)
+        )
+        kinds = tuple(_KIND_OF[type(lf)] for lf in lvs)
+        defaults = tuple(
+            lf.hyperparam_default() if lf.hyperparam_name is not None else 0.0 for lf in lvs
+        )
+        leaf_vars = tuple(lf.varname for lf in lvs)
+        return CompiledKernel(tuple(varnames), kinds, tuple(cols), terms, defaults, leaf_vars)
+
+    # -- parameters --------------------------------------------------------
+
+    @property
+    def n_leaves(self) -> int:
+        return len(self.kinds)
+
+    def default_params(self, dtype=jnp.float64) -> jnp.ndarray:
+        return jnp.asarray(self.defaults, dtype=dtype)
+
+    def param_slots_for_vars(self, inferable: Sequence[str]) -> Tuple[int, ...]:
+        """Leaf-param indices whose natural hyperparameter is replaced when
+        inferring the named variables (ref: --infer semantics,
+        CLI/src/main.jl:57-64 + mcmc.jl:33 — one shared scalar for all)."""
+        inferable = set(inferable)
+        slots = tuple(
+            i
+            for i, (v, kind) in enumerate(zip(self.leaf_vars, self.kinds))
+            if v in inferable and kind != K_CAT
+        )
+        if not slots:
+            raise ValueError(
+                f"--infer variables {sorted(inferable)} match no inferable kernel "
+                f"hyperparameter (formula vars: {self.varnames})"
+            )
+        return slots
+
+    def set_params(
+        self, params: jnp.ndarray, slots: Tuple[int, ...], value: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Functional hyperparameter override: params with ``slots`` <- value."""
+        return params.at[jnp.array(slots)].set(value)
+
+    # -- gram construction (pure JAX; Pallas path lives in ops/gram.py) ----
+
+    def _leaf_axis(self, X: jnp.ndarray, col: int) -> jnp.ndarray:
+        if col >= 0:
+            return X[:, col]
+        # bare Noise/Constant: key on row identity
+        return jnp.arange(X.shape[0], dtype=X.dtype)
+
+    def gram(
+        self,
+        params: jnp.ndarray,
+        X1: jnp.ndarray,
+        X2: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Full covariance matrix K[i,j] = k(X1[i,:], X2[j,:]).
+
+        When ``X2 is None`` the gram is symmetric and bare-Noise terms hit the
+        diagonal; in a cross-gram, row identities never match (standard
+        white-noise prediction semantics), so bare Noise contributes 0.
+        """
+        symmetric = X2 is None
+        X2v = X1 if symmetric else X2
+        n1, n2 = X1.shape[0], X2v.shape[0]
+        K = jnp.zeros((n1, n2), X1.dtype)
+        for term in self.terms:
+            block = None
+            for li in term:
+                col = self.cols[li]
+                if col < 0 and not symmetric:
+                    x1 = jnp.arange(n1, dtype=X1.dtype)
+                    x2 = jnp.full((n2,), -1.0, X1.dtype)  # never equal
+                else:
+                    x1 = self._leaf_axis(X1, col)
+                    x2 = self._leaf_axis(X2v, col)
+                b = _leaf_cross(self.kinds[li], x1, x2, params[li])
+                block = b if block is None else block * b
+            K = K + block
+        return K
+
+    def gram_diag(self, params: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+        """diag(gram(params, X)) without forming the matrix."""
+        d = jnp.zeros((X.shape[0],), X.dtype)
+        for term in self.terms:
+            block = None
+            for li in term:
+                b = _leaf_diag(self.kinds[li], self._leaf_axis(X, self.cols[li]), params[li])
+                block = b if block is None else block * b
+            d = d + block
+        return d
+
+
+def compile_formula(formula: GPComponent) -> CompiledKernel:
+    """Compile a kernel AST (ref: kernel(), abstractgp_translations.jl:45-69)."""
+    return CompiledKernel.compile(formula)

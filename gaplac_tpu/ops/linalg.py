@@ -1,0 +1,50 @@
+"""Linear-algebra backend seam: XLA (jnp) now, Pallas blocked kernels for
+large problems on TPU (gaplac_tpu.ops.cholesky) once registered.
+
+The reference delegates all of this to Julia's LAPACK via AbstractGPs
+(SURVEY.md §1 L1 boundary); here it is a first-class component
+(SURVEY.md §2.12 core-math rows).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular as _jsp_solve_triangular
+
+# Registered Pallas overrides: set by gaplac_tpu.ops.cholesky when available.
+_pallas_cholesky: Optional[Callable] = None
+_pallas_min_n: int = 1024
+
+
+def register_pallas_cholesky(fn: Callable, min_n: int = 1024) -> None:
+    global _pallas_cholesky, _pallas_min_n
+    _pallas_cholesky = fn
+    _pallas_min_n = min_n
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def cholesky(K: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky factor. Routes to the Pallas blocked kernel for large
+    symmetric problems on TPU, else XLA's native cholesky."""
+    n = K.shape[-1]
+    if (
+        _pallas_cholesky is not None
+        and K.ndim == 2
+        and n >= _pallas_min_n
+        and _on_tpu()
+    ):
+        return _pallas_cholesky(K)
+    return jnp.linalg.cholesky(K)
+
+
+def solve_triangular(L: jnp.ndarray, b: jnp.ndarray, lower: bool = True) -> jnp.ndarray:
+    return _jsp_solve_triangular(L, b, lower=lower)
