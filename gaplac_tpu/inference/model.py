@@ -1,0 +1,227 @@
+"""Log-density model builders for GP hyperparameter inference.
+
+Reference parity: the Turing model (CLI/src/mcmc.jl:31-37)
+
+    ℓ  ~ Uniform(0, 20)                      # hardcoded prior, mcmc.jl:32
+    fx ~ FiniteGP(GP(kern(ℓ)), X, 0.1)       # latent GP, jitter 0.1
+    Y .~ Normal.(fx, 1)                      # obs noise sigma=1
+
+Two TPU-first formulations (SURVEY.md §2.12 "inference" rows):
+
+1. ``build_gaussian_marginal`` — for (possibly parameterized) Gaussian
+   likelihoods the latents are integrated out analytically:
+   y ~ N(0, K(θ) + jitter·I + σ²·I).  NUTS then runs in dim = #hyperparams
+   (vs 1+n in the reference — same posterior over θ, radically better
+   geometry and speed).  Latent draws for the chain's fx columns are
+   recovered exactly from p(f | θ, y), and ``lp`` is the SAME joint density
+   the reference reports (natural log), so ``select --chains`` parity holds.
+
+2. ``build_latent_whitened`` — the general path (any likelihood):
+   whitened parameterization f = L(θ) z, z ~ N(0, I) (SURVEY.md §7 hard
+   part (b): whitening is mandatory for geometry), NUTS over [u, z].
+
+Both return pure closures over static structure: jit/grad/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaplac_tpu.dsl.parser import LikelihoodSpec
+from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2, make_loglik
+from gaplac_tpu.inference.transforms import Interval
+from gaplac_tpu.kernels.covariance import CompiledKernel
+from gaplac_tpu.ops import linalg, mvn
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+DEFAULT_PRIOR_BOUNDS = (0.0, 20.0)  # ref: ℓ ~ Uniform(0,20), mcmc.jl:32
+
+
+def slot_groups_for(
+    ck: CompiledKernel, inferable: Sequence[str], shared: bool = True
+) -> Tuple[Tuple[int, ...], ...]:
+    """Map --infer variables to hyperparameter groups.
+
+    ``shared=True`` reproduces the reference exactly: ONE scalar sets the
+    natural hyperparameter of every inferred leaf (mcmc.jl:33 builds
+    Dict(v => ℓ for v in inferable)).  ``shared=False`` gives one scalar per
+    distinct inferred variable (a strict capability extension).
+    """
+    if shared:
+        return (ck.param_slots_for_vars(inferable),)
+    groups = []
+    seen = set()
+    for v in inferable:
+        if v in seen:
+            continue
+        seen.add(v)
+        groups.append(ck.param_slots_for_vars([v]))
+    return tuple(groups)
+
+
+@dataclass(frozen=True)
+class GPModel:
+    """A compiled inference problem.
+
+    ``logdensity(v)`` is the unconstrained-space target for NUTS/HMC/VI.
+    ``dim`` is v's length.  ``report(key, v)`` materializes the chain row
+    pieces: (theta  — constrained hyperparams, f — latent draw, lp — the
+    reference-schema joint log density at (theta, f)).
+    """
+
+    dim: int
+    n_hyper: int
+    logdensity: Callable[[jnp.ndarray], jnp.ndarray]
+    report: Callable[[jax.Array, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+    constrain: Callable[[jnp.ndarray], jnp.ndarray]
+    initial_position: Callable[[jax.Array], jnp.ndarray]
+    marginalized: bool
+
+
+def _params_from(ck: CompiledKernel, slot_groups, dtype):
+    defaults = jnp.asarray(ck.defaults, dtype)
+    idx_groups = [jnp.asarray(g, dtype=jnp.int32) for g in slot_groups]
+
+    def params(theta: jnp.ndarray) -> jnp.ndarray:
+        p = defaults
+        for g, idx in enumerate(idx_groups):
+            p = p.at[idx].set(theta[g])
+        return p
+
+    return params
+
+
+def build_gaussian_marginal(
+    ck: CompiledKernel,
+    slot_groups: Tuple[Tuple[int, ...], ...],
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    jitter: float = mvn.DEFAULT_JITTER,
+    obs_sigma2: float = 1.0,
+    prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
+) -> GPModel:
+    """Collapsed model: θ -> log N(y; 0, K(θ) + (jitter+σ²) I) + prior."""
+    tr = Interval(*prior_bounds)
+    nh = len(slot_groups)
+    n = y.shape[0]
+    dtype = X.dtype
+    params_from = _params_from(ck, slot_groups, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    def logdensity(u: jnp.ndarray) -> jnp.ndarray:
+        theta = tr.forward(u)
+        K = ck.gram(params_from(theta), X)
+        S = K + (jitter + obs_sigma2) * eye
+        return mvn.mvn_logpdf(S, y) + jnp.sum(tr.uniform_logprior(u))
+
+    def report(key: jax.Array, u: jnp.ndarray):
+        """Draw f ~ p(f | θ, y) exactly and evaluate the reference-schema
+        joint lp = log p(θ) + log N(f; 0, K+jitter·I) + Σ log N(y; f, σ²)."""
+        theta = tr.forward(u)
+        Kf = ck.gram(params_from(theta), X) + jitter * eye
+        Ls = linalg.cholesky(Kf + obs_sigma2 * eye)
+        A = linalg.solve_triangular(Ls, Kf, lower=True)        # L^-1 Kf
+        mean_f = A.T @ linalg.solve_triangular(Ls, y, lower=True)
+        cond_cov = Kf - A.T @ A
+        Lc = linalg.cholesky(cond_cov + (1e-8 * jnp.trace(cond_cov) / n) * eye)
+        f = mean_f + Lc @ jax.random.normal(key, (n,), dtype)
+        lp = (
+            jnp.sum(tr.constrained_logprior(theta))
+            + mvn.mvn_logpdf(Kf, f)
+            + jnp.sum(-0.5 * ((y - f) ** 2 / obs_sigma2 + jnp.log(obs_sigma2) + _LOG_2PI))
+        )
+        return theta, f, lp
+
+    def initial_position(key: jax.Array) -> jnp.ndarray:
+        # Turing inits uniformly in [-2,2] unconstrained; same here.
+        return jax.random.uniform(key, (nh,), dtype, -2.0, 2.0)
+
+    return GPModel(nh, nh, logdensity, report, tr.forward, initial_position, True)
+
+
+def build_latent_whitened(
+    ck: CompiledKernel,
+    slot_groups: Tuple[Tuple[int, ...], ...],
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    likelihood: LikelihoodSpec,
+    aux: Optional[jnp.ndarray] = None,
+    jitter: float = mvn.DEFAULT_JITTER,
+    prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
+) -> GPModel:
+    """Whitened latent model over v = [u (nh,), z (n,)]: f = L(θ) z."""
+    tr = Interval(*prior_bounds)
+    nh = len(slot_groups)
+    n = y.shape[0]
+    dtype = X.dtype
+    params_from = _params_from(ck, slot_groups, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+    loglik = make_loglik(likelihood)
+    y = jnp.asarray(y, dtype)
+    aux_arr = None if aux is None else jnp.asarray(aux, dtype)
+
+    def _latent_chol(u):
+        theta = tr.forward(u)
+        K = ck.gram(params_from(theta), X) + jitter * eye
+        return theta, linalg.cholesky(K)
+
+    def logdensity(v: jnp.ndarray) -> jnp.ndarray:
+        u, z = v[:nh], v[nh:]
+        _, L = _latent_chol(u)
+        f = L @ z
+        return (
+            jnp.sum(tr.uniform_logprior(u))
+            - 0.5 * jnp.sum(z * z)
+            - 0.5 * n * _LOG_2PI
+            + jnp.sum(loglik(y, f, aux_arr))
+        )
+
+    def report(key: jax.Array, v: jnp.ndarray):
+        u, z = v[:nh], v[nh:]
+        theta, L = _latent_chol(u)
+        f = L @ z
+        lp = (
+            jnp.sum(tr.constrained_logprior(theta))
+            + mvn.mvn_logpdf_chol(L, f)
+            + jnp.sum(loglik(y, f, aux_arr))
+        )
+        return theta, f, lp
+
+    def initial_position(key: jax.Array) -> jnp.ndarray:
+        ku, kz = jax.random.split(key)
+        u0 = jax.random.uniform(ku, (nh,), dtype, -2.0, 2.0)
+        z0 = 0.1 * jax.random.normal(kz, (n,), dtype)
+        return jnp.concatenate([u0, z0])
+
+    return GPModel(nh + n, nh, logdensity, report, tr.forward, initial_position, False)
+
+
+def build_model(
+    ck: CompiledKernel,
+    inferable: Sequence[str],
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    likelihood: LikelihoodSpec,
+    aux: Optional[jnp.ndarray] = None,
+    jitter: float = mvn.DEFAULT_JITTER,
+    prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
+    shared_hyper: bool = True,
+    marginalize: bool = True,
+) -> GPModel:
+    """Pick the marginalized path for Gaussian likelihoods (default), the
+    whitened latent path otherwise."""
+    groups = slot_groups_for(ck, inferable, shared=shared_hyper)
+    sigma2 = gaussian_obs_sigma2(likelihood)
+    if marginalize and sigma2 is not None:
+        return build_gaussian_marginal(
+            ck, groups, X, y, jitter=jitter, obs_sigma2=sigma2, prior_bounds=prior_bounds
+        )
+    return build_latent_whitened(
+        ck, groups, X, y, likelihood, aux=aux, jitter=jitter, prior_bounds=prior_bounds
+    )
