@@ -1,0 +1,50 @@
+"""Shared CLI helpers: formula-driven data extraction from tables."""
+
+from __future__ import annotations
+
+import logging
+from typing import Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from gaplac_tpu.dsl.parser import Spec
+from gaplac_tpu.kernels.covariance import CompiledKernel
+
+log = logging.getLogger("gaplac")
+
+
+def column_values(df: pd.DataFrame, name: str) -> np.ndarray:
+    """A data column as float; non-numeric (categorical) columns are
+    factorized to integer codes (the Cat/Noise kernels only test equality)."""
+    if name not in df.columns:
+        raise ValueError(
+            f"Column {name!r} not found in data (available: {list(df.columns)})"
+        )
+    col = df[name]
+    if pd.api.types.is_numeric_dtype(col):
+        return col.to_numpy(dtype=float)
+    codes, _ = pd.factorize(col)
+    log.debug("Factorized non-numeric column %s to %d levels", name, codes.max() + 1)
+    return codes.astype(float)
+
+
+def design_matrix(df: pd.DataFrame, ck: CompiledKernel) -> np.ndarray:
+    """(n, n_cols) input matrix in formula left-to-right column order
+    (repeated variables repeat their data; SURVEY.md §2.2)."""
+    cols = [column_values(df, v) for v in ck.varnames]
+    if not cols:
+        return np.zeros((len(df), 0))
+    return np.stack(cols, axis=1)
+
+
+def response_vector(df: pd.DataFrame, spec: Spec) -> np.ndarray:
+    if spec.response not in df.columns:
+        raise ValueError(
+            f"Response column {spec.response!r} not found in data "
+            f"(available: {list(df.columns)})"
+        )
+    y = df[spec.response].to_numpy(dtype=float)
+    if np.isnan(y).any():
+        raise ValueError(f"Response column {spec.response!r} contains missing values")
+    return y

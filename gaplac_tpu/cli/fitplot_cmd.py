@@ -1,0 +1,126 @@
+"""`fitplot` command — per-component posterior decomposition plots.
+
+The reference registers this command but never implements it (SURVEY.md
+§2.3.8); the legacy contract (bin/old_options.jl:119-142) is diagnostic plots
+of the posterior of each additive component of the GP.
+
+For an additive kernel K = sum_t K_t, the posterior of component t at the
+training inputs is
+
+    mu_t  = K_t (K + noise I)^{-1} y
+    var_t = diag(K_t) - rows of K_t (K + noise I)^{-1} K_t
+
+Each component is plotted against its first variable (sorted), mean +- 2 sd.
+With --mcmc, hyperparameters are set to the chain's posterior means.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaplac_tpu.cli.common import design_matrix, response_vector
+from gaplac_tpu.cli.runtime import default_dtype
+from gaplac_tpu.data import complete_cases, read_table
+from gaplac_tpu.dsl import parse_formula
+from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2
+from gaplac_tpu.kernels.covariance import CompiledKernel, compile_formula
+from gaplac_tpu.ops import linalg, mvn
+
+log = logging.getLogger("gaplac")
+
+
+def term_gram(ck: CompiledKernel, term_idx: int, params, X1, X2=None):
+    """Gram of a single additive term (product of its leaves)."""
+    sub = CompiledKernel(
+        ck.varnames, ck.kinds, ck.cols, (ck.terms[term_idx],), ck.defaults, ck.leaf_vars
+    )
+    return sub.gram(params, X1, X2)
+
+
+def term_label(ck: CompiledKernel, term_idx: int) -> str:
+    kind_names = {0: "SqExp", 1: "OU", 2: "Linear", 3: "Cat", 4: "Noise", 5: "Constant"}
+    parts = []
+    for li in ck.terms[term_idx]:
+        v = ck.leaf_vars[li]
+        parts.append(f"{kind_names[ck.kinds[li]]}({v})" if v else kind_names[ck.kinds[li]])
+    return " * ".join(parts)
+
+
+def run(args) -> None:
+    log.info("running 'fitplot'")
+    spec = parse_formula(args.formula)
+    ck = compile_formula(spec.formula)
+    dtype = default_dtype()
+
+    df = complete_cases(read_table(args.data))
+    y = jnp.asarray(response_vector(df, spec), dtype)
+    X = jnp.asarray(design_matrix(df, ck), dtype)
+    n = X.shape[0]
+
+    params = ck.default_params(dtype)
+    if args.mcmc:
+        from gaplac_tpu.cli.predict_cmd import _hyper_draws
+
+        draws = _hyper_draws(args.mcmc, n_hyper=1)
+        theta = float(np.mean(draws[:, 0]))
+        slots = tuple(i for i, k in enumerate(ck.kinds) if ck.leaf_vars[i] and k in (0, 1))
+        if slots:
+            params = params.at[jnp.asarray(slots)].set(theta)
+        log.info("using chain posterior-mean hyperparameter %.3f", theta)
+
+    sigma2 = gaussian_obs_sigma2(spec.likelihood) or 1.0
+    noise = args.jitter + sigma2
+    S = ck.gram(params, X) + noise * jnp.eye(n, dtype=dtype)
+    L = linalg.cholesky(S)
+    a = linalg.solve_triangular(L, y, lower=True)
+    alpha = linalg.solve_triangular(L.T, a, lower=False)
+
+    wanted = None
+    if args.component:
+        wanted = {v.strip() for v in args.component.split(";") if v.strip()}
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    panels = []
+    for t in range(len(ck.terms)):
+        term_vars = {ck.leaf_vars[li] for li in ck.terms[t] if ck.leaf_vars[li]}
+        if wanted is not None and not (term_vars & wanted):
+            continue
+        Kt = term_gram(ck, t, params, X)
+        mu_t = Kt @ alpha
+        V = linalg.solve_triangular(L, Kt, lower=True)
+        var_t = jnp.diag(Kt) - jnp.sum(V * V, axis=0)
+        panels.append((t, np.asarray(mu_t), np.sqrt(np.maximum(np.asarray(var_t), 0.0))))
+
+    if not panels:
+        raise ValueError("No components match --component filter")
+
+    fig, axes = plt.subplots(len(panels), 1, figsize=(8, 3.2 * len(panels)), squeeze=False)
+    yv = np.asarray(y)
+    for ax_row, (t, mu_t, sd_t) in zip(axes, panels):
+        ax = ax_row[0]
+        lead = next((ck.leaf_vars[li] for li in ck.terms[t] if ck.leaf_vars[li]), None)
+        if lead is not None:
+            xs = np.asarray(df[lead].values, float) if lead in df.columns else np.arange(n)
+        else:
+            xs = np.arange(n, dtype=float)
+        order = np.argsort(xs)
+        ax.scatter(xs, yv, s=10, color="gray", alpha=0.4, label="data")
+        ax.plot(xs[order], mu_t[order], color="dodgerblue", label="component mean")
+        ax.fill_between(
+            xs[order], (mu_t - 2 * sd_t)[order], (mu_t + 2 * sd_t)[order],
+            color="dodgerblue", alpha=0.25, label="±2 sd",
+        )
+        ax.set_title(term_label(ck, t))
+        ax.set_xlabel(lead or "index")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(args.output, dpi=120)
+    log.info("Saved fitplot to %s", args.output)
+    print(f"fitplot written to {args.output} ({len(panels)} component(s))")

@@ -1,0 +1,156 @@
+"""gaplac CLI — argument schema and dispatch.
+
+Reference parity: /root/reference/CLI/src/main.jl:1-106 (ArgParse tables) and
+bin/main.jl:1-21 (flag -> log level -> dispatch).  Same five subcommands
+(sample / mcmc / select / predict / fitplot — the last two are implemented
+here; the reference registers but never dispatches them, SURVEY.md §2.3.8),
+same flags and defaults, plus TPU-scale extensions (--chains, --warmup,
+--seed, --platform, --precision, --checkpoint/--resume, --estimator).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gaplac",
+        description="TPU-native Gaussian-Process inference for longitudinal analysis "
+        "of compositional data (GaPLAC-compatible formula DSL).",
+    )
+    # global flags (ref: CLI/src/main.jl:21-31)
+    p.add_argument("-v", "--verbose", action="store_true", help="Log level to info")
+    p.add_argument("-q", "--quiet", action="store_true", help="Log level to error")
+    p.add_argument("--debug", action="store_true", help="Log level to debug")
+    p.add_argument("--log", help="Log to a file as well as stderr")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="Force JAX platform (default: auto)")
+    p.add_argument("--precision", choices=["f32", "f64"], default=None,
+                   help="Compute precision (default: f64 on CPU, f32 on TPU)")
+
+    sub = p.add_subparsers(dest="command", metavar="{sample,mcmc,select,predict,fitplot}")
+
+    # -- sample (ref: CLI/src/main.jl:34-46) -------------------------------
+    ps = sub.add_parser("sample", help="Sample from the GP prior at given inputs")
+    ps.add_argument("spec", help="GP formula specification, e.g. \"y :~| SqExp(:x; l=1)\"")
+    ps.add_argument("--at", required=True, help="Range to sample at, eg 'x=-5:0.1:5'")
+    ps.add_argument("--plot", help="File to plot to")
+    ps.add_argument("-o", "--output", help="Table output - must end with '.csv' or '.tsv'")
+    ps.add_argument("--seed", type=int, default=None, help="PRNG seed")
+
+    # -- mcmc (ref: CLI/src/main.jl:48-77) ---------------------------------
+    pm = sub.add_parser("mcmc", help="Run MCMC (NUTS) over kernel hyperparameters")
+    pm.add_argument("formula", help="GP formula specification")
+    pm.add_argument("-i", "--data", required=True, help="Table input for inference")
+    pm.add_argument("--infer", nargs="+", required=True,
+                    help="Variable names whose kernel hyperparameter to infer")
+    pm.add_argument("--samples", type=int, default=200,
+                    help="Number of posterior samples (default 200)")
+    pm.add_argument("-o", "--output", help="Table to output sampling chain")
+    pm.add_argument("--plot", help="File to plot traces to")
+    # TPU-scale extensions
+    pm.add_argument("--warmup", type=int, default=None,
+                    help="Warmup iterations (default: max(samples, 200))")
+    pm.add_argument("--chains", type=int, default=1, help="Number of chains (sharded over devices)")
+    pm.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    pm.add_argument("--target-accept", type=float, default=0.65)
+    pm.add_argument("--max-depth", type=int, default=10)
+    pm.add_argument("--no-marginalize", action="store_true",
+                    help="Sample latents jointly (reference formulation) even for Gaussian likelihoods")
+    pm.add_argument("--burnin", type=int, default=0,
+                    help="Additional draws to discard post-warmup (legacy --burnin)")
+    pm.add_argument("--thin", type=int, default=1, help="Keep every k-th draw (legacy --thin)")
+    pm.add_argument("--prior", default="Uniform(0,20)",
+                    help="Prior for inferred hyperparameters (default Uniform(0,20))")
+    pm.add_argument("--jitter", type=float, default=0.1, help="Latent GP noise floor")
+    pm.add_argument("--checkpoint", help="Path to write sampler-state checkpoints")
+    pm.add_argument("--resume", help="Resume/extend from a checkpoint or previous chain output")
+
+    # -- select (ref: CLI/src/main.jl:79-105) ------------------------------
+    pl = sub.add_parser("select", help="Model selection (log2 Bayes factors)")
+    pl.add_argument("--formulae", nargs=2, metavar=("F1", "F2"),
+                    help="Compare 2 formulas on --data at fixed hyperparameters")
+    pl.add_argument("--chains", nargs=2, metavar=("C1", "C2"),
+                    help="Compare 2 mcmc chain outputs (marginal-likelihood estimate)")
+    pl.add_argument("-i", "--data", help="Table input (required with --formulae)")
+    pl.add_argument("--plot", help="File to plot to")
+    pl.add_argument("--estimator", choices=["harmonic", "smc"], default="harmonic",
+                    help="Marginal-likelihood estimator for --chains "
+                    "(harmonic = reference parity; smc = sequential Monte Carlo)")
+    pl.add_argument("--seed", type=int, default=0)
+    pl.add_argument("--jitter", type=float, default=0.1)
+
+    # -- predict (registered-but-unimplemented in ref; legacy contract
+    #    bin/old_options.jl:62-87, test/pred.jl:6-14) -----------------------
+    pp = sub.add_parser("predict", help="Posterior predictions at --at/--atdata points")
+    pp.add_argument("formula", help="GP formula specification")
+    pp.add_argument("-i", "--data", required=True, help="Training data table")
+    pp.add_argument("-m", "--mcmc", help="MCMC chain table (hyperparameter draws); "
+                    "defaults to the formula's fixed hyperparameters")
+    pp.add_argument("--infer", nargs="+", default=None,
+                    help="Variables whose hyperparameter the chain inferred "
+                    "(same as the mcmc run that produced --mcmc)")
+    pp.add_argument("--at", help="Points to predict at, e.g. 'x=-5:0.1:5;g=0'")
+    pp.add_argument("--atdata", help="Table of points to predict at (alternative to --at)")
+    pp.add_argument("-o", "--output", help="Output table (.csv/.tsv)")
+    pp.add_argument("--plot", help="File to plot to")
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--jitter", type=float, default=0.1)
+
+    # -- fitplot (registered-but-unimplemented in ref; legacy contract
+    #    bin/old_options.jl:119-142) ---------------------------------------
+    pf = sub.add_parser("fitplot", help="Per-component posterior diagnostic plots")
+    pf.add_argument("formula", help="GP formula specification")
+    pf.add_argument("-i", "--data", required=True, help="Training data table")
+    pf.add_argument("-m", "--mcmc", help="MCMC chain table (optional)")
+    pf.add_argument("--component", "--comp", dest="component",
+                    help="Only plot components involving these ;-separated variables")
+    pf.add_argument("-o", "--output", default="fitplots.png", help="Output image file")
+    pf.add_argument("--seed", type=int, default=0)
+    pf.add_argument("--jitter", type=float, default=0.1)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from gaplac_tpu.cli.logs import setup_logs
+
+    log = setup_logs(args.verbose, args.quiet, args.debug, args.log)
+    log.info("Getting started!")
+
+    if args.command is None:
+        build_parser().print_help()
+        return 1
+
+    from gaplac_tpu.cli.runtime import configure
+
+    configure(args.platform, args.precision)
+
+    if args.command == "sample":
+        from gaplac_tpu.cli.sample_cmd import run
+    elif args.command == "mcmc":
+        from gaplac_tpu.cli.mcmc_cmd import run
+    elif args.command == "select":
+        from gaplac_tpu.cli.select_cmd import run
+    elif args.command == "predict":
+        from gaplac_tpu.cli.predict_cmd import run
+    elif args.command == "fitplot":
+        from gaplac_tpu.cli.fitplot_cmd import run
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown command {args.command}")
+
+    try:
+        run(args)
+    except (ValueError, FileNotFoundError) as e:
+        log.error("%s", e)
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

