@@ -1,0 +1,221 @@
+"""Blocked Cholesky + triangular solves for TPU (SURVEY.md §2.12 core-math).
+
+XLA's native ``cholesky`` on this chip runs ~6-13x below matmul throughput
+(measured: 18 TF/s effective vs 120 TF/s bf16 matmul at n=8192).  This module
+rebuilds the factorization as a *recursive 2x2 blocked* algorithm whose FLOPs
+are optimal (n^3/3) and live almost entirely in MXU matmuls:
+
+    chol([[A11,  . ], [A21, A22]]):
+        L11 = chol(A11)                     (recurse, n/2)
+        L21 = A21 L11^{-T}                  (recursive triangular solve)
+        L22 = chol(A22 - L21 L21^T)         (SYRK on MXU + recurse)
+
+All shapes are static (halving recursion, Python-level), so one jit
+compilation; the base case is a Pallas kernel factoring a VMEM-resident tile.
+The triangular solve is likewise recursive (matmul-rich), replacing XLA's
+sequential ``triangular_solve`` for large right-hand sides.
+
+Matmul precision: trailing updates default to f32-accumulated
+``preferred_element_type`` with HIGHEST precision (3-pass bf16) — configurable
+via ``precision=`` for speed (DEFAULT = 1-pass bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+try:  # Pallas is TPU/Mosaic; fall back to XLA base case off-TPU
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+BASE = 256          # base-case tile (VMEM resident: 256x256 f32 = 256 KB)
+_DEF_PREC = lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Base case: unblocked Cholesky of one VMEM tile (Pallas)
+# ---------------------------------------------------------------------------
+
+
+def _chol_tile_kernel(a_ref, out_ref):
+    """Factor a (B, B) SPD tile in VMEM.
+
+    Column-sweep with rank-1 trailing updates on the VPU: per column j,
+    scale below-diagonal entries by 1/sqrt(d_j) and subtract the outer
+    product from the trailing submatrix.  Dynamic column access goes through
+    the output ref (``pl.ds``) — Pallas TPU cannot dynamic-slice values.
+    """
+    b = a_ref.shape[0]
+    rows2 = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols2 = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    rows1 = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+    def body(j, a):
+        colmask = cols2 == j
+        col = jnp.sum(jnp.where(colmask, a, 0.0), axis=1, keepdims=True)   # (b,1)
+        diag = jnp.sum(jnp.where(rows1 == j, col, 0.0))
+        d = jnp.sqrt(jnp.maximum(diag, 1e-30))
+        colj = jnp.where(rows1 > j, col / d, 0.0)         # exact div, not rsqrt
+        colj = jnp.where(rows1 == j, d, colj)             # L[j,j] = sqrt(d)
+        a = jnp.where(colmask, colj, a)                   # write column j
+        # trailing -= colj colj^T (outer product on MXU, no transposes)
+        upd = lax.dot_general(colj, colj, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        mask = (rows2 > j) & (cols2 > j)
+        return a - jnp.where(mask, upd, 0.0)
+
+    a = lax.fori_loop(0, b, body, a_ref[:])
+    out_ref[:] = jnp.where(rows2 >= cols2, a, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _chol_base_pallas(A: jnp.ndarray) -> jnp.ndarray:
+    return pl.pallas_call(
+        _chol_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct(A.shape, A.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(A)
+
+
+def _chol_base(A: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    if use_pallas and _HAS_PALLAS and jax.default_backend() != "cpu":
+        return _chol_base_pallas(A)
+    return jnp.linalg.cholesky(A)
+
+
+# ---------------------------------------------------------------------------
+# Recursive blocked algorithms (static shapes; one jit)
+# ---------------------------------------------------------------------------
+
+
+def _rchol(A: jnp.ndarray, base: int, use_pallas: bool, precision) -> jnp.ndarray:
+    n = A.shape[0]
+    if n <= base:
+        return _chol_base(A, use_pallas)
+    h = _split_point(n, base)
+    A11 = A[:h, :h]
+    A21 = A[h:, :h]
+    A22 = A[h:, h:]
+    L11 = _rchol(A11, base, use_pallas, precision)
+    L21 = _rtrsm_right_lt(A21, L11, base, precision)  # A21 L11^{-T}
+    S = A22 - jnp.matmul(L21, L21.T, precision=precision)
+    L22 = _rchol(S, base, use_pallas, precision)
+    top = jnp.concatenate([L11, jnp.zeros((h, n - h), A.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _rtrsm_right_lt(B: jnp.ndarray, L: jnp.ndarray, base: int, precision) -> jnp.ndarray:
+    """Solve X L^T = B for X (L lower-triangular): X = B L^{-T}.
+
+    Recursive: with L = [[L11, 0], [L21, L22]],
+      X1 = B1 L11^{-T}
+      X2 = (B2 - X1 L21^T) L22^{-T}
+    """
+    n = L.shape[0]
+    if n <= base:
+        return lax.linalg.triangular_solve(
+            L, B, left_side=False, lower=True, transpose_a=True
+        )
+    h = _split_point(n, base)
+    L11, L21, L22 = L[:h, :h], L[h:, :h], L[h:, h:]
+    B1, B2 = B[:, :h], B[:, h:]
+    X1 = _rtrsm_right_lt(B1, L11, base, precision)
+    X2 = _rtrsm_right_lt(B2 - jnp.matmul(X1, L21.T, precision=precision), L22, base, precision)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _rtrsm_left_lower(L: jnp.ndarray, B: jnp.ndarray, base: int, precision) -> jnp.ndarray:
+    """Solve L X = B (L lower-triangular)."""
+    n = L.shape[0]
+    if n <= base:
+        return lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
+    h = _split_point(n, base)
+    L11, L21, L22 = L[:h, :h], L[h:, :h], L[h:, h:]
+    B1, B2 = B[:h], B[h:]
+    X1 = _rtrsm_left_lower(L11, B1, base, precision)
+    X2 = _rtrsm_left_lower(L22, B2 - jnp.matmul(L21, X1, precision=precision), base, precision)
+    return jnp.concatenate([X1, X2], axis=0)
+
+
+def _rtrsm_left_upper(U: jnp.ndarray, B: jnp.ndarray, base: int, precision) -> jnp.ndarray:
+    """Solve U X = B with U = L^T upper-triangular (for the second stage of
+    SPD solves)."""
+    n = U.shape[0]
+    if n <= base:
+        return lax.linalg.triangular_solve(U, B, left_side=True, lower=False)
+    h = _split_point(n, base)
+    U11, U12, U22 = U[:h, :h], U[:h, h:], U[h:, h:]
+    B1, B2 = B[:h], B[h:]
+    X2 = _rtrsm_left_upper(U22, B2, base, precision)
+    X1 = _rtrsm_left_upper(U11, B1 - jnp.matmul(U12, X2, precision=precision), base, precision)
+    return jnp.concatenate([X1, X2], axis=0)
+
+
+def _split_point(n: int, base: int) -> int:
+    """Largest multiple of ``base`` that is >= n/2 (keeps all blocks
+    base-aligned when n is a multiple of base)."""
+    h = ((n + 1) // 2 + base - 1) // base * base
+    return min(h, n - base) if n > base else n
+
+
+# ---------------------------------------------------------------------------
+# Public API (with padding to multiples of BASE)
+# ---------------------------------------------------------------------------
+
+
+def blocked_cholesky(
+    A: jnp.ndarray,
+    base: int = BASE,
+    use_pallas: bool = False,
+    precision=_DEF_PREC,
+) -> jnp.ndarray:
+    """Lower Cholesky factor of SPD A; pads to a multiple of ``base`` with an
+    identity tail (factor of the padded matrix is the padded factor)."""
+    n = A.shape[0]
+    pn = max(base, -(-n // base) * base)
+    if pn != n:
+        P = jnp.zeros((pn, pn), A.dtype)
+        P = P.at[:n, :n].set(A)
+        P = P.at[jnp.arange(n, pn), jnp.arange(n, pn)].set(1.0)
+        return _rchol(P, base, use_pallas, precision)[:n, :n]
+    return _rchol(A, base, use_pallas, precision)
+
+
+def blocked_solve_lower(L: jnp.ndarray, B: jnp.ndarray, base: int = BASE,
+                        precision=_DEF_PREC) -> jnp.ndarray:
+    """L X = B (B may be a vector or matrix)."""
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    X = _rtrsm_left_lower(L, B, base, precision)
+    return X[:, 0] if vec else X
+
+
+def blocked_solve_upper(U: jnp.ndarray, B: jnp.ndarray, base: int = BASE,
+                        precision=_DEF_PREC) -> jnp.ndarray:
+    """U X = B with upper-triangular U."""
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    X = _rtrsm_left_upper(U, B, base, precision)
+    return X[:, 0] if vec else X
+
+
+def register(min_n: int = 2048) -> None:
+    """Route gaplac_tpu.ops.linalg.cholesky to the blocked kernel for
+    n >= min_n on TPU."""
+    from gaplac_tpu.ops import linalg
+
+    linalg.register_pallas_cholesky(blocked_cholesky, min_n=min_n)

@@ -1,0 +1,99 @@
+"""Pallas/blocked op equivalence tests (SURVEY.md §4: "Pallas-vs-XLA
+equivalence tests").  The Pallas gram runs in interpret mode on the CPU test
+mesh; the blocked Cholesky/trisolve recursion is exact mathematics and is
+tested against jnp.linalg on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaplac_tpu.dsl import parse_formula
+from gaplac_tpu.kernels.covariance import compile_formula
+from gaplac_tpu.ops.cholesky import (
+    blocked_cholesky,
+    blocked_solve_lower,
+    blocked_solve_upper,
+)
+from gaplac_tpu.ops.gram import pallas_gram
+
+
+@pytest.mark.parametrize("n", [100, 256, 500, 1000])
+def test_blocked_cholesky_matches_lapack(n):
+    rng = np.random.default_rng(n)
+    Xg = rng.normal(size=(n, 16))
+    A = jnp.asarray(Xg @ Xg.T / 16 + np.eye(n))
+    L = blocked_cholesky(A, base=256)
+    Lref = jnp.linalg.cholesky(A)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lref), atol=1e-10)
+    # zero above the diagonal (padding must not leak)
+    assert float(jnp.max(jnp.abs(jnp.triu(L, 1)))) == 0.0
+
+
+def test_blocked_solves_match():
+    n = 777
+    rng = np.random.default_rng(7)
+    Xg = rng.normal(size=(n, 16))
+    A = jnp.asarray(Xg @ Xg.T / 16 + np.eye(n))
+    L = jnp.linalg.cholesky(A)
+    B = jnp.asarray(rng.normal(size=(n, 5)))
+    from jax.scipy.linalg import solve_triangular
+
+    np.testing.assert_allclose(
+        np.asarray(blocked_solve_lower(L, B)),
+        np.asarray(solve_triangular(L, B, lower=True)),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(blocked_solve_upper(L.T, B)),
+        np.asarray(solve_triangular(L.T, B, lower=False)),
+        atol=1e-9,
+    )
+    b = jnp.asarray(rng.normal(size=n))
+    np.testing.assert_allclose(
+        np.asarray(blocked_solve_lower(L, b)),
+        np.asarray(solve_triangular(L, b, lower=True)),
+        atol=1e-9,
+    )
+
+
+@pytest.fixture(scope="module")
+def composite_ck():
+    return compile_formula(
+        parse_formula("y ~| SqExp(:t) * Cat(:g) + Linear(:x) + OU(:t2) + Noise").formula
+    )
+
+
+def _data(n, seed=0):
+    X = np.random.default_rng(seed).normal(size=(n, 4))
+    X[:, 1] = np.floor(np.abs(X[:, 1]) * 2)
+    return jnp.asarray(X, jnp.float32)
+
+
+def test_pallas_gram_interpret_symmetric(composite_ck):
+    ck = composite_ck
+    p = ck.default_params(jnp.float32).at[0].set(1.7).at[2].set(0.4)
+    X = _data(300)
+    Kp = pallas_gram(ck, p, X, interpret=True, tile=256)
+    Kr = ck.gram(p, X)
+    np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kr), atol=1e-5)
+
+
+def test_pallas_gram_interpret_cross(composite_ck):
+    ck = composite_ck
+    p = ck.default_params(jnp.float32)
+    X1, X2 = _data(300), _data(129, seed=1)
+    Kp = pallas_gram(ck, p, X1, X2, interpret=True, tile=256)
+    Kr = ck.gram(p, X1, X2)
+    np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kr), atol=1e-5)
+    # bare-Noise must contribute nothing across datasets
+    assert Kp.shape == (300, 129)
+
+
+def test_pallas_gram_nondivisible_padding(composite_ck):
+    ck = composite_ck
+    p = ck.default_params(jnp.float32)
+    X = _data(257)  # forces one ragged tile
+    Kp = pallas_gram(ck, p, X, interpret=True, tile=256)
+    Kr = ck.gram(p, X)
+    np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kr), atol=1e-5)
