@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--max-depth", type=int, default=10)
     pm.add_argument("--no-marginalize", action="store_true",
                     help="Sample latents jointly (reference formulation) even for Gaussian likelihoods")
+    pm.add_argument("--sampler", choices=["nuts", "advi"], default="nuts",
+                    help="nuts (default) or advi (variational fast path)")
+    pm.add_argument("--vi-steps", type=int, default=2000,
+                    help="ADVI optimization steps (with --sampler advi)")
     pm.add_argument("--burnin", type=int, default=0,
                     help="Additional draws to discard post-warmup (legacy --burnin)")
     pm.add_argument("--thin", type=int, default=1, help="Keep every k-th draw (legacy --thin)")
@@ -77,8 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("-i", "--data", help="Table input (required with --formulae)")
     pl.add_argument("--plot", help="File to plot to")
     pl.add_argument("--estimator", choices=["harmonic", "smc"], default="harmonic",
-                    help="Marginal-likelihood estimator for --chains "
-                    "(harmonic = reference parity; smc = sequential Monte Carlo)")
+                    help="harmonic (--chains; reference parity) or smc: a tempered-SMC "
+                    "marginal likelihood over the hyperparameter prior (--formulae mode)")
+    pl.add_argument("--infer", nargs="+", default=None,
+                    help="With --estimator smc: variables whose hyperparameter to "
+                    "integrate over (default: all lengthscale-kind leaves)")
+    pl.add_argument("--particles", type=int, default=512, help="SMC particle count")
     pl.add_argument("--seed", type=int, default=0)
     pl.add_argument("--jitter", type=float, default=0.1)
 

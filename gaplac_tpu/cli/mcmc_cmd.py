@@ -91,6 +91,10 @@ def run(args) -> None:
 
     key = jax.random.key(args.seed)
     k_init, k_run, k_report = jax.random.split(key, 3)
+
+    if getattr(args, "sampler", "nuts") == "advi":
+        _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report)
+        return
     init_keys = jax.random.split(k_init, n_chains)
     run_keys = jax.random.split(k_run, n_chains)
 
@@ -165,7 +169,18 @@ def run(args) -> None:
         _save_checkpoint(args.checkpoint, positions, res)
         log.info("checkpoint written to %s", args.checkpoint)
 
-    n = y.shape[0]
+    _emit_chains(
+        args, model, y.shape[0], thetas, fs, lps,
+        accepts=np.asarray(accepts), depths=np.asarray(depths), divs=np.asarray(divs),
+    )
+
+
+def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None, divs=None):
+    """Write the reference-schema chain table and posterior summary.
+
+    thetas: (chains, draws, n_hyper), fs: (chains, draws, n), lps: (chains, draws).
+    """
+    n_chains, kept = lps.shape
     frames = []
     for c in range(n_chains):
         cols = {
@@ -175,12 +190,13 @@ def run(args) -> None:
         }
         for g in range(1, model.n_hyper):
             cols[f"{HYPER_COL}_{g+1}"] = thetas[c, :, g]
-        for i in range(n):
+        for i in range(n_obs):
             cols[f"fx[{i+1}]"] = fs[c, :, i]
         cols["lp"] = lps[c]
-        cols["acceptance_rate"] = np.asarray(accepts[c])
-        cols["tree_depth"] = np.asarray(depths[c])
-        cols["numerical_error"] = np.asarray(divs[c]).astype(int)
+        if accepts is not None:
+            cols["acceptance_rate"] = accepts[c]
+            cols["tree_depth"] = depths[c]
+            cols["numerical_error"] = divs[c].astype(int)
         frames.append(pd.DataFrame(cols))
     chain_df = pd.concat(frames, ignore_index=True)
 
@@ -207,6 +223,36 @@ def run(args) -> None:
         fig = trace_plot(thetas, names)
         fig.savefig(args.plot, dpi=120)
         log.info("Saved trace plot to %s", args.plot)
+
+
+def _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report):
+    """ADVI fast path (--sampler advi): fit mean-field q, emit pseudodraw
+    chains in the same schema as NUTS (SURVEY.md §2.12 VI row)."""
+    import time as _time
+
+    from gaplac_tpu.inference.vi import run_advi, sample_posterior
+
+    t0 = _time.time()
+    result = run_advi(k_run, model, num_steps=args.vi_steps)
+    elbo = float(np.asarray(result.elbo_trace)[-1])
+    log.info("ADVI: %d steps in %.2fs, final ELBO %.3f", args.vi_steps, _time.time() - t0, elbo)
+    print(f"ADVI converged: final ELBO {elbo:.3f}")
+
+    draws = sample_posterior(k_init, result, n_chains * num_samples)
+    draws = draws.reshape(n_chains, num_samples, model.dim)
+    report_keys = jax.random.split(k_report, n_chains * num_samples).reshape(
+        n_chains, num_samples
+    )
+
+    @jax.jit
+    @jax.vmap
+    def chain_report(keys, qs):
+        return jax.vmap(model.report)(keys, qs)
+
+    thetas, fs, lps = chain_report(report_keys, draws)
+    _emit_chains(
+        args, model, y.shape[0], np.asarray(thetas), np.asarray(fs), np.asarray(lps)
+    )
 
 
 def _save_checkpoint(path: str, positions, res) -> None:

@@ -73,10 +73,13 @@ def run(args) -> None:
 
     if chains:
         if args.estimator == "smc":
-            lp1, lp2 = _smc_lps(args)
-        else:
-            lp1 = log2_harmonic_mean(_read_lp(chains[0]))
-            lp2 = log2_harmonic_mean(_read_lp(chains[1]))
+            raise ValueError(
+                "--estimator smc works with '--formulae' + '--data' (it "
+                "re-estimates the marginal likelihood from the data; chain "
+                "files alone are not sufficient)"
+            )
+        lp1 = log2_harmonic_mean(_read_lp(chains[0]))
+        lp2 = log2_harmonic_mean(_read_lp(chains[1]))
         bayes = lp1 - lp2  # == log2(2^lp1 / 2^lp2), select.jl:20
     elif formulae:
         if not args.data:
@@ -95,7 +98,11 @@ def run(args) -> None:
             K = ck.gram(ck.default_params(dtype), X)
             return float(mvn.mvn_logpdf(K, y, jitter=args.jitter))
 
-        lp1, lp2 = fixed_lp(spec1), fixed_lp(spec2)
+        if args.estimator == "smc":
+            lp1 = _smc_evidence(args, spec1, df, dtype)
+            lp2 = _smc_evidence(args, spec2, df, dtype)
+        else:
+            lp1, lp2 = fixed_lp(spec1), fixed_lp(spec2)
         bayes = lp1 - lp2  # natural-log lps relabeled log2 (ref parity)
     else:
         raise ValueError(
@@ -113,12 +120,44 @@ def run(args) -> None:
     return bayes
 
 
-def _smc_lps(args):
-    """SMC marginal likelihoods: requires --data and treats the two --chains
-    arguments as formulas when they parse, else re-reads the chain files'
-    formula is unavailable -> error guiding the user."""
-    raise ValueError(
-        "--estimator smc requires '--formulae' mode with '--data' "
-        "(SMC re-estimates the marginal likelihood from the data; "
-        "chain files alone are not sufficient)"
+def _smc_evidence(args, spec, df, dtype) -> float:
+    """Tempered-SMC log marginal likelihood of one formula, integrating the
+    Uniform(0,20) hyperparameter prior (BASELINE.json north star; replaces
+    the unstable harmonic mean — SURVEY.md §2.3.3)."""
+    import jax as _jax
+
+    from gaplac_tpu.inference.model import build_model
+    from gaplac_tpu.inference.smc import smc_log_evidence_gp
+
+    ck = compile_formula(spec.formula)
+    y = jnp.asarray(response_vector(df, spec), dtype)
+    X = jnp.asarray(design_matrix(df, ck), dtype)
+    if args.infer:
+        inferable = list(args.infer)
+    else:
+        # default: the shared lengthscale over all SqExp/OU leaves (the mcmc
+        # command's natural target); fall back to fixed-hyperparam logpdf if
+        # the formula has nothing to infer
+        inferable = [
+            v for v, k in zip(ck.leaf_vars, ck.kinds) if v and k in (0, 1)
+        ]
+    if not inferable:
+        K = ck.gram(ck.default_params(dtype), X)
+        lp = float(mvn.mvn_logpdf(K, y, jitter=args.jitter))
+        log.info("SMC: %s has no inferable hyperparameter; fixed logpdf %.4f",
+                 spec.formula, lp)
+        return lp
+    model = build_model(ck, inferable, X, y, spec.likelihood, jitter=args.jitter)
+    res = smc_log_evidence_gp(
+        _jax.random.key(args.seed), model, n_particles=args.particles
     )
+    lp = float(res.log_evidence)
+    log.info(
+        "SMC evidence for %s: %.4f (%d stages, %d particles)",
+        formulae_str(spec), lp, int(res.n_stages), args.particles,
+    )
+    return lp
+
+
+def formulae_str(spec) -> str:
+    return f"{spec.response} ~| {spec.formula}"
