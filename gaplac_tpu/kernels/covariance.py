@@ -218,6 +218,35 @@ class CompiledKernel:
             K = K + block
         return K
 
+    def gram_cross_with_rowids(
+        self,
+        params: jnp.ndarray,
+        X1: jnp.ndarray,
+        X2: jnp.ndarray,
+        row_ids1: jnp.ndarray,
+        row_ids2: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Cross gram where bare-Noise leaves key on EXPLICIT global row ids —
+        the primitive behind the block-sharded Gram (parallel/distributed.py),
+        whose row blocks see only a slice of the global row index space."""
+        K = jnp.zeros((X1.shape[0], X2.shape[0]), X1.dtype)
+        for term in self.terms:
+            block = None
+            for li in term:
+                col = self.cols[li]
+                if col >= 0:
+                    b = _leaf_cross(self.kinds[li], X1[:, col], X2[:, col], params[li])
+                else:
+                    b = _leaf_cross(
+                        self.kinds[li],
+                        row_ids1.astype(X1.dtype),
+                        row_ids2.astype(X1.dtype),
+                        params[li],
+                    )
+                block = b if block is None else block * b
+            K = K + block
+        return K
+
     def gram_diag(self, params: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
         """diag(gram(params, X)) without forming the matrix."""
         d = jnp.zeros((X.shape[0],), X.dtype)

@@ -1,0 +1,139 @@
+"""Distributed-path tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+"multi-host tests via multi-process CPU simulation ... the standard way to
+test pod code without a pod")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaplac_tpu.dsl import parse_formula
+from gaplac_tpu.kernels.covariance import compile_formula
+from gaplac_tpu.parallel.distributed import (
+    data_mesh,
+    distributed_cholesky,
+    distributed_solve_lower,
+    sharded_gram,
+)
+from gaplac_tpu.parallel.mesh import chain_mesh, shard_chain_axis
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return data_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def composite():
+    ck = compile_formula(
+        parse_formula("y ~| SqExp(:t) * Cat(:g) + Linear(:x) + Noise").formula
+    )
+    n = 256
+    X = np.random.default_rng(0).normal(size=(n, 3))
+    X[:, 1] = np.floor(np.abs(X[:, 1]) * 2)
+    return ck, jnp.asarray(X)
+
+
+def test_sharded_gram_matches_dense(mesh, composite):
+    ck, X = composite
+    p = ck.default_params()
+    K_sharded = sharded_gram(ck, p, X, mesh, jitter=0.1)
+    # sharded result must equal the single-device gram (incl. bare-Noise diag)
+    K_dense = ck.gram(p, X) + 0.1 * jnp.eye(X.shape[0], dtype=X.dtype)
+    np.testing.assert_allclose(np.asarray(K_sharded), np.asarray(K_dense), atol=1e-12)
+    # and it must actually be sharded by rows
+    shard_shapes = {s.data.shape for s in K_sharded.addressable_shards}
+    assert shard_shapes == {(32, 256)}
+
+
+def test_distributed_cholesky_matches_lapack(mesh, composite):
+    ck, X = composite
+    p = ck.default_params()
+    K = sharded_gram(ck, p, X, mesh, jitter=0.5)
+    L = distributed_cholesky(K, mesh)
+    Lref = jnp.linalg.cholesky(
+        ck.gram(p, X) + 0.5 * jnp.eye(X.shape[0], dtype=X.dtype)
+    )
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lref), atol=1e-9)
+    assert {s.data.shape for s in L.addressable_shards} == {(32, 256)}
+
+
+def test_distributed_solve(mesh, composite):
+    ck, X = composite
+    n = X.shape[0]
+    p = ck.default_params()
+    K = sharded_gram(ck, p, X, mesh, jitter=0.5)
+    L = distributed_cholesky(K, mesh)
+    b = jnp.asarray(np.random.default_rng(1).normal(size=n))
+    x = distributed_solve_lower(L, b, mesh)
+    Lref = np.asarray(jnp.linalg.cholesky(ck.gram(p, X) + 0.5 * jnp.eye(n)))
+    xref = np.linalg.solve(Lref, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), xref, atol=1e-8)
+
+
+def test_distributed_mvn_logpdf_end_to_end(mesh, composite):
+    # full large-n pipeline: sharded gram -> distributed chol -> solve -> lp
+    ck, X = composite
+    n = X.shape[0]
+    p = ck.default_params()
+    y = jnp.asarray(np.random.default_rng(2).normal(size=n))
+
+    K = sharded_gram(ck, p, X, mesh, jitter=1.1)
+    L = distributed_cholesky(K, mesh)
+    alpha = distributed_solve_lower(L, y, mesh)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    lp = -0.5 * (alpha @ alpha + logdet + n * np.log(2 * np.pi))
+
+    from gaplac_tpu.ops import mvn
+
+    lp_ref = mvn.mvn_logpdf(ck.gram(p, X), y, jitter=1.1)
+    np.testing.assert_allclose(float(lp), float(lp_ref), rtol=1e-10)
+
+
+def test_chain_sharding_vmap_nuts(mesh):
+    # 8 chains sharded over 8 devices run a real sampler step identically
+    # to unsharded execution
+    from gaplac_tpu.inference.nuts import run_nuts
+
+    cov = np.diag([2.0, 0.5])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    ld = lambda q: -0.5 * q @ prec @ q
+
+    keys = jax.random.split(jax.random.key(0), 8)
+    q0s = jnp.zeros((8, 2))
+    run = jax.jit(jax.vmap(lambda k, q: run_nuts(k, ld, q, 100, num_warmup=100)))
+    keys_s, q0s_s = shard_chain_axis(keys, q0s, mesh=chain_mesh(8))
+    res_sharded = run(keys_s, q0s_s)
+    res_plain = run(keys, q0s)
+    # sharded compilation reorders fp ops and NUTS trajectories are chaotic;
+    # compare the posteriors statistically, not bitwise
+    qs_s = np.asarray(res_sharded.positions).reshape(-1, 2)
+    qs_p = np.asarray(res_plain.positions).reshape(-1, 2)
+    assert {s.data.shape for s in res_sharded.positions.addressable_shards} == {(1, 100, 2)}
+    np.testing.assert_allclose(qs_s.mean(0), qs_p.mean(0), atol=0.3)
+    np.testing.assert_allclose(qs_s.std(0), qs_p.std(0), rtol=0.3)
+
+
+def test_smc_with_sharded_particles():
+    # the SMC kernel's reductions compile under a sharded particle axis
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gaplac_tpu.inference.smc import run_smc
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(0.5, 1.0, size=10))
+    logprior = lambda u: -0.5 * jnp.sum(u**2)
+    loglik = lambda u: jnp.sum(-0.5 * (y - u[0]) ** 2)
+
+    mesh = chain_mesh(8)
+    sharding = NamedSharding(mesh, P("chains"))
+
+    def sample_prior(k, n):
+        return jax.device_put(jax.random.normal(k, (n, 1)), sharding)
+
+    res = jax.jit(
+        lambda k: run_smc(k, sample_prior, logprior, loglik, n_particles=512)
+    )(jax.random.key(1))
+    assert np.isfinite(float(res.log_evidence))
+    assert float(res.final_beta) == 1.0
