@@ -66,13 +66,14 @@ def main() -> None:
         )
     )
 
-    # compile + adapt once
+    # compile + adapt once.  NOTE: through the axon tunnel block_until_ready
+    # does not actually block; a host transfer is the only reliable sync.
     res = run(jax.random.key(3))
-    jax.block_until_ready(res.positions)
-    # timed run (cached executable)
+    float(jnp.sum(res.positions))
+    # timed run (cached executable), host-transfer synced
     t0 = time.time()
     res = run(jax.random.key(4))
-    jax.block_until_ready(res.positions)
+    float(jnp.sum(res.positions))
     elapsed = time.time() - t0
 
     total_transitions = NUM_SAMPLES + NUM_WARMUP

@@ -38,6 +38,18 @@ def design_matrix(df: pd.DataFrame, ck: CompiledKernel) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
+def apply_outlier_policy(df: pd.DataFrame, args, response: str) -> pd.DataFrame:
+    """Legacy --rmv-outliers handling (bin/old_options.jl:32-41)."""
+    method = getattr(args, "rmv_outliers", "none")
+    if method in (None, "", "none"):
+        return df
+    from gaplac_tpu.data.outliers import remove_outliers
+
+    extra = [f for f in getattr(args, "outlier_fields", "").split(";") if f]
+    ignore = [f for f in getattr(args, "outlier_ignore", "").split(";") if f]
+    return remove_outliers(df, method, response, extra, ignore)
+
+
 def response_vector(df: pd.DataFrame, spec: Spec) -> np.ndarray:
     if spec.response not in df.columns:
         raise ValueError(

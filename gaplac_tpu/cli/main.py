@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Force JAX platform (default: auto)")
     p.add_argument("--precision", choices=["f32", "f64"], default=None,
                    help="Compute precision (default: f64 on CPU, f32 on TPU)")
+    p.add_argument("--profile", action="store_true",
+                   help="Print a phase wall-clock breakdown")
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="Also write a jax.profiler trace to DIR (TensorBoard)")
 
     sub = p.add_subparsers(dest="command", metavar="{sample,mcmc,select,predict,fitplot}")
 
@@ -71,6 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--jitter", type=float, default=0.1, help="Latent GP noise floor")
     pm.add_argument("--checkpoint", help="Path to write sampler-state checkpoints")
     pm.add_argument("--resume", help="Resume/extend from a checkpoint or previous chain output")
+    _add_outlier_flags(pm)
 
     # -- select (ref: CLI/src/main.jl:79-105) ------------------------------
     pl = sub.add_parser("select", help="Model selection (log2 Bayes factors)")
@@ -106,6 +111,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--plot", help="File to plot to")
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--jitter", type=float, default=0.1)
+    _add_outlier_flags(pp)
 
     # -- fitplot (registered-but-unimplemented in ref; legacy contract
     #    bin/old_options.jl:119-142) ---------------------------------------
@@ -118,8 +124,20 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("-o", "--output", default="fitplots.png", help="Output image file")
     pf.add_argument("--seed", type=int, default=0)
     pf.add_argument("--jitter", type=float, default=0.1)
+    _add_outlier_flags(pf)
 
     return p
+
+
+def _add_outlier_flags(sub) -> None:
+    """Legacy outlier-removal flags (bin/old_options.jl:32-41)."""
+    sub.add_argument("--rmv-outliers", "--rmv_outliers", dest="rmv_outliers",
+                     choices=["none", "fence"], default="none",
+                     help="Outlier removal method for training data (none|fence)")
+    sub.add_argument("--outlier-fields", "--outlier_fields", dest="outlier_fields",
+                     default="", help=";-separated additional fields to fence")
+    sub.add_argument("--outlier-ignore", "--outlier_ignore", dest="outlier_ignore",
+                     default="", help=";-separated fields to exclude from fencing")
 
 
 def main(argv=None) -> int:
@@ -151,12 +169,21 @@ def main(argv=None) -> int:
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {args.command}")
 
+    from gaplac_tpu.utils import profiling
+
+    if args.profile or args.profile_dir:
+        profiling.enable()
     try:
-        run(args)
+        with profiling.trace(args.profile_dir):
+            with profiling.phase(args.command):
+                run(args)
     except (ValueError, FileNotFoundError) as e:
         log.error("%s", e)
         print(f"error: {e}", file=sys.stderr)
         return 2
+    finally:
+        if args.profile or args.profile_dir:
+            profiling.print_report()
     return 0
 
 

@@ -55,6 +55,9 @@ def run(args) -> None:
     log.debug("GP formula: %s", spec.formula)
 
     df = read_table(args.data)
+    from gaplac_tpu.cli.common import apply_outlier_policy
+
+    df = apply_outlier_policy(df, args, spec.response)
     ck = compile_formula(spec.formula)
     inferable = list(args.infer)
     log.debug("Model variables: %s", ck.varnames)
@@ -120,6 +123,8 @@ def run(args) -> None:
             initial_inv_mass=im0,
         )
 
+    from gaplac_tpu.utils import profiling
+
     t0 = time.time()
     if resume_state is not None:
         eps0s = jnp.broadcast_to(
@@ -133,10 +138,12 @@ def run(args) -> None:
         eps0s = im0s = None
         sampler = jax.jit(jax.vmap(lambda k, q0: one_chain(k, q0, None, None)))
     run_keys, init_positions = shard_chain_axis(run_keys, init_positions)
-    res = sampler(run_keys, init_positions) if resume_state is None else sampler(
-        run_keys, init_positions, eps0s, im0s
-    )
-    jax.block_until_ready(res.positions)
+    with profiling.phase("mcmc.sample+compile"):
+        res = sampler(run_keys, init_positions) if resume_state is None else sampler(
+            run_keys, init_positions, eps0s, im0s
+        )
+        # host-transfer sync (block_until_ready is async through the axon tunnel)
+        float(jnp.sum(res.step_size))
     elapsed = time.time() - t0
     total = n_chains * (num_samples + num_warmup)
     log.info(
@@ -162,8 +169,9 @@ def run(args) -> None:
     def chain_report(keys, qs):
         return jax.vmap(model.report)(keys, qs)
 
-    thetas, fs, lps = chain_report(report_keys, positions)
-    thetas, fs, lps = np.asarray(thetas), np.asarray(fs), np.asarray(lps)
+    with profiling.phase("mcmc.report"):
+        thetas, fs, lps = chain_report(report_keys, positions)
+        thetas, fs, lps = np.asarray(thetas), np.asarray(fs), np.asarray(lps)
 
     if args.checkpoint:
         _save_checkpoint(args.checkpoint, positions, res)

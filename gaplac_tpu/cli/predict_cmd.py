@@ -84,7 +84,10 @@ def run(args) -> None:
     ck = compile_formula(spec.formula)
     dtype = default_dtype()
 
+    from gaplac_tpu.cli.common import apply_outlier_policy
+
     df = complete_cases(read_table(args.data))
+    df = apply_outlier_policy(df, args, spec.response)
     y = jnp.asarray(response_vector(df, spec), dtype)
     X = jnp.asarray(design_matrix(df, ck), dtype)
 

@@ -1,0 +1,132 @@
+"""Extended CLI coverage: composite longitudinal formulas (the reference's
+real-data shape, test/pred.jl:3), non-Gaussian likelihoods, outlier removal,
+profiling flag."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gaplac_tpu.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def longitudinal_data(tmp_path_factory):
+    """Synthetic microbiome-style table: bug ~ per-person effect + nutrient
+    trend + noise (columns mirror input_pair_109.tsv's shape without copying
+    reference data)."""
+    rng = np.random.default_rng(0)
+    n_person, n_rep = 12, 8
+    person = np.repeat(np.arange(n_person), n_rep)
+    pair = rng.integers(0, 2, size=n_person * n_rep)
+    nutrient = rng.normal(size=n_person * n_rep)
+    person_eff = rng.normal(0, 1.0, size=n_person)[person]
+    bug = person_eff + 0.8 * nutrient + rng.normal(0, 0.5, size=n_person * n_rep)
+    df = pd.DataFrame({
+        "SampleID": [f"s{i}" for i in range(len(bug))],
+        "bug": bug,
+        "nutrient": nutrient,
+        "StoolPairs": pair,
+        "PersonID": [f"p{int(p)}" for p in person],  # string categorical
+    })
+    d = tmp_path_factory.mktemp("long")
+    path = d / "long.tsv"
+    df.to_csv(path, sep="\t", index=False)
+    return str(path)
+
+
+def test_composite_categorical_mcmc(longitudinal_data, tmp_path, capsys):
+    # legacy composite formula with string Cat columns and bare Noise
+    out = tmp_path / "chain.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc",
+        "bug :~| Cat(PersonID) * Cat(StoolPairs) + Cat(PersonID) + Linear(nutrient) + Noise",
+        "--data", longitudinal_data, "--infer", "nutrient",
+        "--samples", "50", "--warmup", "100", "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert "lp" in df.columns and np.isfinite(df["lp"]).all()
+    # lp scale sanity: joint density of ~96 obs should be O(-100..-400)
+    assert -2000 < df["lp"].mean() < 0
+
+
+def test_select_formulae_composite(longitudinal_data, capsys):
+    rc = main([
+        "--platform", "cpu", "select", "--formulae",
+        "bug :~| Cat(PersonID) + Linear(nutrient)",
+        "bug :~| Linear(nutrient)",
+        "--data", longitudinal_data,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    bayes = float(out.split("**Log2 Bayes**:")[1].splitlines()[0])
+    assert bayes > 5  # person effects are real -> strong evidence for model 1
+
+
+def test_bernoulli_mcmc_cli(tmp_path):
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(-3, 3, 40))
+    f = np.sin(1.5 * x) * 2
+    yb = (rng.uniform(size=40) < 1 / (1 + np.exp(-f))).astype(int)
+    data = tmp_path / "bin.tsv"
+    pd.DataFrame({"x": x, "y": yb}).to_csv(data, sep="\t", index=False)
+    out = tmp_path / "chain.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y : Bernoulli ~| SqExp(:x)",
+        "--data", str(data), "--infer", "x", "--samples", "50",
+        "--warmup", "100", "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert np.isfinite(df["lp"]).all()
+    assert (df["ℓ"] > 0).all()
+
+
+def test_outlier_fence(tmp_path, capsys):
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-5, 5, 60)
+    y = np.sin(x)
+    y[0] = 500.0  # gross outlier
+    data = tmp_path / "o.tsv"
+    pd.DataFrame({"x": x, "y": y}).to_csv(data, sep="\t", index=False)
+    out = tmp_path / "chain.tsv"
+    rc = main([
+        "--platform", "cpu", "-v", "mcmc", "y ~| SqExp(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "30", "--warmup", "60",
+        "--rmv-outliers", "fence", "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    # 59 rows kept -> fx[59] exists, fx[60] doesn't
+    assert "fx[59]" in df.columns and "fx[60]" not in df.columns
+
+
+def test_profile_flag(tmp_path, capsys):
+    data = tmp_path / "d.tsv"
+    rng = np.random.default_rng(2)
+    pd.DataFrame({"x": rng.uniform(-5, 5, 30), "y": rng.normal(size=30)}).to_csv(
+        data, sep="\t", index=False
+    )
+    rc = main([
+        "--platform", "cpu", "--profile", "mcmc", "y ~| SqExp(:x)",
+        "--data", str(data), "--infer", "x", "--samples", "20", "--warmup", "40",
+        "--output", str(tmp_path / "c.tsv"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "phase breakdown" in out
+    assert "mcmc.sample+compile" in out
+
+
+def test_studentt_likelihood_mcmc(tmp_path):
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-4, 4, 35)
+    y = np.sin(x) + rng.standard_t(3, size=35) * 0.3
+    data = tmp_path / "t.tsv"
+    pd.DataFrame({"x": x, "y": y}).to_csv(data, sep="\t", index=False)
+    rc = main([
+        "--platform", "cpu", "mcmc", "y : StudentT(4) ~| SqExp(:x)",
+        "--data", str(data), "--infer", "x", "--samples", "40", "--warmup", "80",
+        "--output", str(tmp_path / "c.tsv"),
+    ])
+    assert rc == 0
