@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Sample latents jointly (reference formulation) even for Gaussian likelihoods")
     pm.add_argument("--sampler", choices=["nuts", "advi"], default="nuts",
                     help="nuts (default) or advi (variational fast path)")
+    pm.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
+                    help="shared (reference parity: ONE scalar for all --infer vars) "
+                    "or pervar (one hyperparameter per distinct variable)")
+    pm.add_argument("--check-numerics", action="store_true",
+                    help="Enable jax NaN/Inf debugging (jax_debug_nans)")
     pm.add_argument("--vi-steps", type=int, default=2000,
                     help="ADVI optimization steps (with --sampler advi)")
     pm.add_argument("--burnin", type=int, default=0,

@@ -69,6 +69,10 @@ def run(args) -> None:
     if spec.likelihood.colref is not None:
         aux = jnp.asarray(column_values(df, spec.likelihood.colref), dtype)
 
+    if getattr(args, "check_numerics", False):
+        jax.config.update("jax_debug_nans", True)
+        log.info("numerics checking enabled (jax_debug_nans)")
+
     prior_bounds = parse_prior(args.prior)
     model = build_model(
         ck,
@@ -79,6 +83,7 @@ def run(args) -> None:
         aux=aux,
         jitter=args.jitter,
         prior_bounds=prior_bounds,
+        shared_hyper=getattr(args, "infer_mode", "shared") == "shared",
         marginalize=not args.no_marginalize,
     )
     log.info(
@@ -105,10 +110,17 @@ def run(args) -> None:
 
     resume_state = None
     if args.resume:
-        resume_state = _load_checkpoint(args.resume, n_chains, model.dim)
-        init_positions = resume_state["positions"]
-        num_warmup = 0
-        log.info("resuming from %s (warmup skipped)", args.resume)
+        if args.resume.endswith((".tsv", ".csv")):
+            # legacy chain extension (bin/old_options.jl:43-45): warm-start
+            # from the previous chain table's last draws; short re-adaptation
+            init_positions = _resume_from_chain(args.resume, model, n_chains, dtype)
+            num_warmup = min(num_warmup, 100)
+            log.info("extending chain %s (reduced warmup %d)", args.resume, num_warmup)
+        else:
+            resume_state = _load_checkpoint(args.resume, n_chains, model.dim)
+            init_positions = resume_state["positions"]
+            num_warmup = 0
+            log.info("resuming from %s (warmup skipped)", args.resume)
 
     def one_chain(k, q0, eps0, im0):
         return run_nuts(
@@ -261,6 +273,34 @@ def _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_repor
     _emit_chains(
         args, model, y.shape[0], np.asarray(thetas), np.asarray(fs), np.asarray(lps)
     )
+
+
+def _resume_from_chain(path: str, model, n_chains: int, dtype) -> jnp.ndarray:
+    """Warm-start positions from a previous chain table's last row(s):
+    theta from the hyperparameter column(s), and for latent models z
+    recovered from the fx columns via z = L(theta)^{-1} f."""
+    df = read_table(path)
+    hyper_cols = []
+    for g in range(model.n_hyper):
+        cands = (["ℓ", "l"] if g == 0 else []) + [f"ℓ_{g+1}", f"l_{g+1}"]
+        found = next((c for c in cands if c in df.columns), None)
+        if found is None:
+            raise ValueError(f"Chain {path!r} lacks hyperparameter column for group {g}")
+        hyper_cols.append(found)
+    fx_cols = sorted(
+        (c for c in df.columns if c.startswith("fx[")),
+        key=lambda c: int(c[3:-1]),
+    )
+    groups = (
+        [g for _, g in df.groupby("chain", sort=True)] if "chain" in df.columns else [df]
+    )
+    positions = []
+    for c in range(n_chains):
+        row = groups[c % len(groups)].iloc[-1]
+        theta = jnp.asarray(row[hyper_cols].to_numpy(dtype=float), dtype)
+        f = jnp.asarray(row[fx_cols].to_numpy(dtype=float), dtype) if fx_cols else jnp.zeros((0,), dtype)
+        positions.append(model.position_from(theta, f))
+    return jnp.stack(positions)
 
 
 def _save_checkpoint(path: str, positions, res) -> None:

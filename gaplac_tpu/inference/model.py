@@ -82,6 +82,9 @@ class GPModel:
     constrain: Callable[[jnp.ndarray], jnp.ndarray]
     initial_position: Callable[[jax.Array], jnp.ndarray]
     marginalized: bool
+    #: (theta, f) -> unconstrained position v; inverse of report's draw —
+    #: powers warm-start/extension from a previous chain's last row
+    position_from: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None
 
 
 def _params_from(ck: CompiledKernel, slot_groups, dtype):
@@ -142,7 +145,11 @@ def build_gaussian_marginal(
         # Turing inits uniformly in [-2,2] unconstrained; same here.
         return jax.random.uniform(key, (nh,), dtype, -2.0, 2.0)
 
-    return GPModel(nh, nh, logdensity, report, tr.forward, initial_position, True)
+    def position_from(theta: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+        return tr.inverse(jnp.asarray(theta, dtype))
+
+    return GPModel(nh, nh, logdensity, report, tr.forward, initial_position, True,
+                   position_from)
 
 
 def build_latent_whitened(
@@ -199,7 +206,14 @@ def build_latent_whitened(
         z0 = 0.1 * jax.random.normal(kz, (n,), dtype)
         return jnp.concatenate([u0, z0])
 
-    return GPModel(nh + n, nh, logdensity, report, tr.forward, initial_position, False)
+    def position_from(theta: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+        u = tr.inverse(jnp.asarray(theta, dtype))
+        _, L = _latent_chol(u)
+        z = linalg.solve_triangular(L, jnp.asarray(f, dtype), lower=True)
+        return jnp.concatenate([u, z])
+
+    return GPModel(nh + n, nh, logdensity, report, tr.forward, initial_position, False,
+                   position_from)
 
 
 def build_model(

@@ -130,3 +130,54 @@ def test_studentt_likelihood_mcmc(tmp_path):
         "--output", str(tmp_path / "c.tsv"),
     ])
     assert rc == 0
+
+
+def test_chain_extension_from_table(tmp_path):
+    # legacy --mcmc chain-extension semantics: --resume <chain.tsv>
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-5, 5, 30)
+    y = np.sin(x)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": y}).to_csv(data, sep="\t", index=False)
+    c1 = tmp_path / "c1.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "30", "--warmup", "80", "--output", str(c1),
+    ])
+    assert rc == 0
+    c2 = tmp_path / "c2.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "20", "--resume", str(c1), "--output", str(c2),
+    ])
+    assert rc == 0
+    assert len(pd.read_csv(c2, sep="\t")) == 20
+    # latent (no-marginalize) extension exercises the fx -> z inversion
+    c3 = tmp_path / "c3.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "15", "--no-marginalize",
+        "--resume", str(c1), "--output", str(c3),
+    ])
+    assert rc == 0
+    assert np.isfinite(pd.read_csv(c3, sep="\t")["lp"]).all()
+
+
+def test_pervar_infer_mode(tmp_path):
+    rng = np.random.default_rng(6)
+    n = 40
+    t = rng.uniform(0, 10, n)
+    x = rng.uniform(-3, 3, n)
+    y = np.sin(t) + 0.5 * x + rng.normal(0, 0.3, n)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"t": t, "x": x, "y": y}).to_csv(data, sep="\t", index=False)
+    out = tmp_path / "c.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:t) + OU(:x)", "--data", str(data),
+        "--infer", "t", "x", "--infer-mode", "pervar",
+        "--samples", "30", "--warmup", "80", "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    # two hyperparameter columns: one per inferred variable
+    assert "ℓ" in df.columns and "ℓ_2" in df.columns
