@@ -63,8 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--max-depth", type=int, default=10)
     pm.add_argument("--no-marginalize", action="store_true",
                     help="Sample latents jointly (reference formulation) even for Gaussian likelihoods")
-    pm.add_argument("--sampler", choices=["nuts", "advi"], default="nuts",
-                    help="nuts (default) or advi (variational fast path)")
+    pm.add_argument("--sampler", choices=["nuts", "chees", "advi"], default="nuts",
+                    help="nuts (default), chees (cross-chain adaptive HMC — the "
+                    "TPU-native high-throughput path; wants --chains >= 8), or "
+                    "advi (variational fast path)")
     pm.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
                     help="shared (reference parity: ONE scalar for all --infer vars) "
                     "or pervar (one hyperparameter per distinct variable)")

@@ -103,6 +103,10 @@ def run(args) -> None:
     if getattr(args, "sampler", "nuts") == "advi":
         _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report)
         return
+    if getattr(args, "sampler", "nuts") == "chees":
+        _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
+                        k_init, k_run, k_report)
+        return
     init_keys = jax.random.split(k_init, n_chains)
     run_keys = jax.random.split(k_run, n_chains)
 
@@ -243,6 +247,58 @@ def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None,
         fig = trace_plot(thetas, names)
         fig.savefig(args.plot, dpi=120)
         log.info("Saved trace plot to %s", args.plot)
+
+
+def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
+                    k_init, k_run, k_report):
+    """ChEES-HMC path (--sampler chees): all chains lockstep, cross-chain
+    step-size/trajectory adaptation (inference/chees.py)."""
+    import time as _time
+
+    from gaplac_tpu.inference.chees import run_chees
+    from gaplac_tpu.utils import profiling
+
+    if n_chains < 4:
+        log.warning(
+            "ChEES adapts its trajectory length from cross-chain statistics; "
+            "--chains %d is small, using 8", n_chains,
+        )
+        n_chains = max(n_chains, 8)
+
+    q0 = jax.vmap(model.initial_position)(jax.random.split(k_init, n_chains))
+    t0 = _time.time()
+    with profiling.phase("mcmc.chees+compile"):
+        res = jax.jit(
+            lambda k: run_chees(
+                k, model.logdensity, q0, num_samples, num_warmup=num_warmup,
+                target_accept=args.target_accept,
+            )
+        )(k_run)
+        float(jnp.sum(res.step_size))
+    elapsed = _time.time() - t0
+    total = n_chains * (num_samples + num_warmup)
+    log.info(
+        "chees: %d chains x %d transitions in %.2fs (%.1f transitions/s; "
+        "eps %.4f, T %.3f, accept %.2f)",
+        n_chains, num_samples + num_warmup, elapsed, total / elapsed,
+        float(res.step_size), float(res.traj_length),
+        float(np.asarray(res.accept_prob).mean()),
+    )
+
+    sl = slice(args.burnin, None, args.thin)
+    positions = res.positions[:, sl]
+    kept = positions.shape[1]
+    report_keys = jax.random.split(k_report, n_chains * kept).reshape(n_chains, kept)
+
+    @jax.jit
+    @jax.vmap
+    def chain_report(keys, qs):
+        return jax.vmap(model.report)(keys, qs)
+
+    thetas, fs, lps = chain_report(report_keys, positions)
+    _emit_chains(
+        args, model, y.shape[0], np.asarray(thetas), np.asarray(fs), np.asarray(lps)
+    )
 
 
 def _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report):

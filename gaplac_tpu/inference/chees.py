@@ -1,0 +1,236 @@
+"""ChEES-HMC — cross-chain adaptive Hamiltonian Monte Carlo.
+
+The TPU-native alternative to NUTS (PAPERS.md: Hoffman, Radul & Sountsov,
+"An Adaptive-MCMC Scheme for Setting Trajectory Lengths in Hamiltonian Monte
+Carlo", AISTATS 2021).  NUTS's recursive tree building is control-flow heavy:
+every leapfrog is a separate loop iteration whose length differs per chain,
+so vmapped chains pad to the slowest tree and each iteration pays the
+backend's dispatch floor (~150 us/step through this image's axon tunnel —
+measured).  ChEES-HMC instead runs ALL chains in lockstep for the SAME
+jittered trajectory length — one batched leapfrog scan per transition — and
+adapts:
+
+  - step size  eps  by dual averaging on the cross-chain mean accept prob;
+  - trajectory length T by stochastic gradient ascent on the ChEES
+    criterion  E[ (||q' - E q'||^2 - ||q - E q||^2)^2 ] / 4,  whose
+    per-chain gradient w.r.t. T is
+       (||q' - m||^2 - ||q - m||^2) * <q' - m, v'> * alpha
+    (v' = final velocity, alpha = accept prob), averaged over chains.
+
+Cross-chain means/averages are plain jnp.mean over the chain axis — under a
+sharded chain axis XLA lowers them to psum over ICI (SURVEY.md §2.4 "pooled
+dual-averaging stats ... via collectives").
+
+All chains move with the same step count per transition -> the whole sampler
+is two nested ``lax.scan``s with static bounds, no data-dependent control
+flow: exactly what the hardware wants.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaplac_tpu.inference.hmc import (
+    DualAveragingState,
+    da_init,
+    da_update,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+
+
+class CheesResult(NamedTuple):
+    positions: jnp.ndarray     # (chains, num_samples, dim)
+    logps: jnp.ndarray         # (chains, num_samples)
+    accept_prob: jnp.ndarray   # (num_samples,) cross-chain mean
+    step_size: jnp.ndarray
+    traj_length: jnp.ndarray
+    inv_mass: jnp.ndarray
+
+
+def _halton(i: jnp.ndarray, base: int = 2) -> jnp.ndarray:
+    """Halton low-discrepancy sequence element (float in (0,1)); matches the
+    paper's jitter choice, computed branch-free for traced i."""
+    # 16 bits is plenty for jitter purposes
+    f = jnp.zeros((), jnp.float32)
+    r = jnp.zeros((), jnp.float32)
+    x = i.astype(jnp.uint32) + 1
+    denom = jnp.float32(base)
+    for _ in range(16):
+        digit = (x % base).astype(jnp.float32)
+        r = r + digit / denom
+        x = x // base
+        denom = denom * base
+    return r
+
+
+def run_chees(
+    key: jax.Array,
+    logdensity: Callable[[jnp.ndarray], jnp.ndarray],
+    initial_positions: jnp.ndarray,   # (chains, dim)
+    num_samples: int,
+    num_warmup: int = 500,
+    max_leapfrogs: int = 1000,
+    target_accept: float = 0.651,
+    init_step_size: float = 0.1,
+    init_traj_length: float = 1.0,
+    adam_lr: float = 0.025,
+) -> CheesResult:
+    """Batched-chain ChEES-HMC.  ``initial_positions`` carries the chain
+    axis; all per-transition math is vmapped over it and every reduction
+    over chains is a collective under sharding."""
+    n_chains, dim = initial_positions.shape
+    dtype = initial_positions.dtype
+    vag = jax.value_and_grad(logdensity)
+
+    def leapfrogs(q, p, logp, grad, eps, inv_mass, n_steps):
+        """n_steps batched leapfrog steps, ALL chains in lockstep.  n_steps
+        is a (shared) scalar, so this is one while_loop that runs exactly
+        n_steps iterations — no per-chain control-flow divergence."""
+
+        def cond(carry):
+            return carry[4] < n_steps
+
+        def body(carry):
+            q, p, logp, grad, t = carry
+            p_half = p + 0.5 * eps * grad
+            q = q + eps * (inv_mass * p_half)
+            logp, grad = jax.vmap(vag)(q)
+            p = p_half + 0.5 * eps * grad
+            return (q, p, logp, grad, t + 1)
+
+        q, p, logp, grad, _ = jax.lax.while_loop(
+            cond, body, (q, p, logp, grad, jnp.zeros((), jnp.int32))
+        )
+        return q, p, logp, grad
+
+    class Carry(NamedTuple):
+        key: jax.Array
+        q: jnp.ndarray
+        logp: jnp.ndarray
+        grad: jnp.ndarray
+        da: DualAveragingState
+        log_t: jnp.ndarray       # log trajectory length
+        adam_m: jnp.ndarray
+        adam_v: jnp.ndarray
+        adam_i: jnp.ndarray
+        wf: object
+        inv_mass: jnp.ndarray
+        iter: jnp.ndarray
+
+    def transition(c: Carry, adapt: bool):
+        key, k_mom, k_acc = jax.random.split(c.key, 3)
+        eps = jnp.exp(c.da.log_eps)
+        traj = jnp.exp(c.log_t)
+        # halton-jittered trajectory length shared by all chains
+        u = _halton(c.iter)
+        traj_j = traj * u * 2.0
+        n_steps = jnp.clip(
+            jnp.ceil(traj_j / eps).astype(jnp.int32), 1, max_leapfrogs
+        )
+
+        p0 = jax.random.normal(k_mom, (n_chains, dim), dtype) * jax.lax.rsqrt(c.inv_mass)
+        ke0 = 0.5 * jnp.sum(p0 * p0 * c.inv_mass, axis=1)
+        q1, p1, logp1, grad1 = leapfrogs(
+            c.q, p0, c.logp, c.grad, eps, c.inv_mass, n_steps
+        )
+        ke1 = 0.5 * jnp.sum(p1 * p1 * c.inv_mass, axis=1)
+        log_acc = (logp1 - ke1) - (c.logp - ke0)
+        log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
+        alpha = jnp.minimum(1.0, jnp.exp(log_acc))
+        accept = jnp.log(jax.random.uniform(k_acc, (n_chains,), dtype)) < log_acc
+        q = jnp.where(accept[:, None], q1, c.q)
+        logp = jnp.where(accept, logp1, c.logp)
+        grad = jnp.where(accept[:, None], grad1, c.grad)
+
+        mean_alpha = jnp.mean(alpha)           # cross-chain (psum when sharded)
+        da = da_update(c.da, mean_alpha, target=target_accept)
+
+        # ChEES gradient for log T (cross-chain means -> collectives)
+        m1 = jnp.mean(q1, axis=0)
+        m0 = jnp.mean(c.q, axis=0)
+        d1 = jnp.sum((q1 - m1) ** 2, axis=1)
+        d0 = jnp.sum((c.q - m0) ** 2, axis=1)
+        v1 = p1 * c.inv_mass
+        proj = jnp.sum((q1 - m1) * v1, axis=1)
+        per_chain = (d1 - d0) * proj * alpha
+        # d traj_j / d log_t = traj_j; normalize per paper's trick
+        grad_log_t = jnp.mean(per_chain) * traj_j
+        grad_log_t = grad_log_t / (jnp.sqrt(jnp.mean(per_chain**2) + 1e-12) * traj_j + 1e-12)
+        grad_log_t = jnp.where(jnp.isfinite(grad_log_t), grad_log_t, 0.0)
+
+        # Adam ascent on log T (only during warmup)
+        i = c.adam_i + 1.0
+        am = 0.9 * c.adam_m + 0.1 * grad_log_t
+        av = 0.999 * c.adam_v + 0.001 * grad_log_t**2
+        mhat = am / (1 - 0.9**i)
+        vhat = av / (1 - 0.999**i)
+        log_t_new = c.log_t + adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        # keep T within sane bounds relative to eps
+        log_t_new = jnp.clip(
+            log_t_new,
+            jnp.log(eps),
+            jnp.log(eps * max_leapfrogs),
+        )
+
+        if adapt:
+            wf = welford_update(c.wf, jnp.mean(q, axis=0))
+            new = Carry(key, q, logp, grad, da, log_t_new, am, av, i, wf,
+                        c.inv_mass, c.iter + 1)
+        else:
+            new = Carry(key, q, logp, grad, c.da, c.log_t, c.adam_m, c.adam_v,
+                        c.adam_i, c.wf, c.inv_mass, c.iter + 1)
+        return new, (q, logp, mean_alpha)
+
+    logp0, grad0 = jax.vmap(vag)(initial_positions)
+    carry = Carry(
+        key=key,
+        q=initial_positions,
+        logp=logp0,
+        grad=grad0,
+        da=da_init(jnp.asarray(init_step_size, dtype)),
+        log_t=jnp.log(jnp.asarray(init_traj_length, dtype)),
+        adam_m=jnp.zeros((), dtype),
+        adam_v=jnp.zeros((), dtype),
+        adam_i=jnp.zeros((), dtype),
+        wf=welford_init(dim, dtype),
+        inv_mass=jnp.ones((dim,), dtype),
+        iter=jnp.zeros((), jnp.int32),
+    )
+
+    # warmup: two halves — first adapts eps/T with unit mass, second also
+    # estimates the diagonal mass from cross-chain position spread
+    def warm_step(c, _):
+        return transition(c, adapt=True)
+
+    h1 = num_warmup // 2
+    carry, _ = jax.lax.scan(warm_step, carry, None, length=h1)
+    # mass from per-dimension cross-chain variance of current positions
+    var = jnp.var(carry.q, axis=0) + 1e-3
+    carry = carry._replace(inv_mass=var, wf=welford_init(dim, dtype))
+    carry, _ = jax.lax.scan(warm_step, carry, None, length=num_warmup - h1)
+
+    eps_final = jnp.exp(carry.da.log_eps_avg)
+    carry = carry._replace(da=da_init(eps_final))
+
+    def samp_step(c, _):
+        return transition(c, adapt=False)
+
+    carry, (qs, logps, alphas) = jax.lax.scan(
+        samp_step, carry, None, length=num_samples
+    )
+    # (num_samples, chains, dim) -> (chains, num_samples, dim)
+    return CheesResult(
+        jnp.swapaxes(qs, 0, 1),
+        jnp.swapaxes(logps, 0, 1),
+        alphas,
+        eps_final,
+        jnp.exp(carry.log_t),
+        carry.inv_mass,
+    )

@@ -112,3 +112,34 @@ def test_rhat_ess_sane():
     # deliberately unmixed chains
     bad = jnp.asarray(rng.normal(size=(4, 500)) + np.arange(4)[:, None] * 5)
     assert float(rhat(bad)) > 1.5
+
+
+def test_chees_mvn_calibration():
+    from gaplac_tpu.inference.chees import run_chees
+
+    cov = np.array([[2.0, 0.9, 0.0], [0.9, 1.0, 0.3], [0.0, 0.3, 0.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    ld = lambda q: -0.5 * q @ prec @ q
+    q0 = jax.random.normal(jax.random.key(0), (16, 3)) * 0.1
+    res = jax.jit(lambda k: run_chees(k, ld, q0, 500, num_warmup=500))(jax.random.key(1))
+    qs = np.asarray(res.positions).reshape(-1, 3)
+    np.testing.assert_allclose(qs.mean(0), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.cov(qs.T), cov, atol=0.3)
+    assert 0.4 < float(res.accept_prob.mean()) < 0.95
+
+
+def test_chees_gp_agrees_with_nuts(guide_data):
+    from gaplac_tpu.inference.chees import run_chees
+
+    X, y = guide_data
+    spec = parse_formula("y ~| SqExp(:x)")
+    m = build_model(compile_formula(spec.formula), ["x"], X, y, spec.likelihood,
+                    marginalize=False)
+    q0 = jax.vmap(m.initial_position)(jax.random.split(jax.random.key(5), 8))
+    res = jax.jit(lambda k: run_chees(k, m.logdensity, q0, 300, num_warmup=300))(
+        jax.random.key(6)
+    )
+    ells = np.asarray(
+        jax.vmap(jax.vmap(lambda v: m.constrain(v[:1])))(res.positions)
+    ).ravel()
+    assert 1.0 < np.median(ells) < 4.0  # same posterior region as NUTS
