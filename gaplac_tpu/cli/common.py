@@ -57,6 +57,10 @@ def response_vector(df: pd.DataFrame, spec: Spec) -> np.ndarray:
             f"(available: {list(df.columns)})"
         )
     y = df[spec.response].to_numpy(dtype=float)
+    # legacy response arithmetic, e.g. y*Reads/100 (test/oldtests.jl:25)
+    for op, operand in spec.transform:
+        val = column_values(df, operand) if isinstance(operand, str) else float(operand)
+        y = y * val if op == "*" else y / val
     if np.isnan(y).any():
         raise ValueError(f"Response column {spec.response!r} contains missing values")
     return y

@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "or pervar (one hyperparameter per distinct variable)")
     pm.add_argument("--check-numerics", action="store_true",
                     help="Enable jax NaN/Inf debugging (jax_debug_nans)")
+    pm.add_argument("--approx", choices=["none", "laplace"], default="none",
+                    help="laplace: integrate non-Gaussian latents out with a "
+                    "Laplace approximation (fast path; legacy laplace_approx)")
     pm.add_argument("--vi-steps", type=int, default=2000,
                     help="ADVI optimization steps (with --sampler advi)")
     pm.add_argument("--burnin", type=int, default=0,

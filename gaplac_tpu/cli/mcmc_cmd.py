@@ -74,18 +74,34 @@ def run(args) -> None:
         log.info("numerics checking enabled (jax_debug_nans)")
 
     prior_bounds = parse_prior(args.prior)
-    model = build_model(
-        ck,
-        inferable,
-        X,
-        y,
-        spec.likelihood,
-        aux=aux,
-        jitter=args.jitter,
-        prior_bounds=prior_bounds,
-        shared_hyper=getattr(args, "infer_mode", "shared") == "shared",
-        marginalize=not args.no_marginalize,
-    )
+    shared = getattr(args, "infer_mode", "shared") == "shared"
+    if getattr(args, "approx", "none") == "laplace":
+        from gaplac_tpu.inference.laplace import build_laplace_marginal
+        from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2
+        from gaplac_tpu.inference.model import slot_groups_for
+
+        if gaussian_obs_sigma2(spec.likelihood) is not None:
+            raise ValueError(
+                "--approx laplace is for non-Gaussian likelihoods; Gaussian "
+                "data already uses the exact marginalized path"
+            )
+        model = build_laplace_marginal(
+            ck, slot_groups_for(ck, inferable, shared=shared), X, y,
+            spec.likelihood, aux=aux, jitter=args.jitter, prior_bounds=prior_bounds,
+        )
+    else:
+        model = build_model(
+            ck,
+            inferable,
+            X,
+            y,
+            spec.likelihood,
+            aux=aux,
+            jitter=args.jitter,
+            prior_bounds=prior_bounds,
+            shared_hyper=shared,
+            marginalize=not args.no_marginalize,
+        )
     log.info(
         "model: %s, NUTS dim %d, n=%d obs",
         "marginalized" if model.marginalized else "whitened latent",

@@ -81,11 +81,17 @@ _LIK_CANON = {
 
 @dataclass(frozen=True)
 class Spec:
-    """Parsed formula (ref: struct Spec, interface.jl:1-5)."""
+    """Parsed formula (ref: struct Spec, interface.jl:1-5).
+
+    ``transform`` carries legacy response arithmetic (``y*Reads/100``,
+    test/oldtests.jl:25): a chain of (op, operand) applied to the response
+    column, operand being a column name or a number.
+    """
 
     response: str
     likelihood: LikelihoodSpec
     formula: GPComponent
+    transform: Tuple[Tuple[str, object], ...] = ()
 
     def varnames(self) -> Tuple[str, ...]:
         return self.formula.varnames()
@@ -100,7 +106,7 @@ _TOKEN_RE = re.compile(
     (?P<num>   [0-9]+\.[0-9]*([eE][+-]?[0-9]+)? | \.[0-9]+([eE][+-]?[0-9]+)?
              | [0-9]+([eE][+-]?[0-9]+)? )
   | (?P<name>  [A-Za-z_µα-ωΑ-Ω][A-Za-z_0-9µα-ωΑ-Ω]* )
-  | (?P<sym>   [():;,=+*\-] )
+  | (?P<sym>   [():;,=+*/\-] )
   | (?P<ws>    \s+ )
     """,
     re.VERBOSE,
@@ -402,7 +408,36 @@ def parse_formula(formula: str) -> Spec:
     else:
         lik = parse_likelihood(formula[colon + 1 : tilde])
         resp = formula[:colon].strip()
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", resp or ""):
-        raise FormulaError(f"Invalid response name {resp!r} in formula {formula!r}")
+    name, transform = _parse_response(resp, formula)
     kern = parse_kernel_expr(formula[tilde + 2 :].strip())
-    return Spec(resp, lik, kern)
+    return Spec(name, lik, kern, transform)
+
+
+def _parse_response(resp: str, formula: str):
+    """Response slot: an identifier optionally followed by the legacy
+    arithmetic chain ``*``/``/`` (column or number), e.g. ``y*Reads/100``
+    (test/oldtests.jl:25)."""
+    if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", resp or ""):
+        return resp, ()
+    p = _Parser(_tokenize(resp or ""), formula)
+    t = p.peek()
+    if t is None or t.kind != "name":
+        raise FormulaError(f"Invalid response {resp!r} in formula {formula!r}")
+    name = p.next().text
+    transform = []
+    while not p.at_end():
+        op = p.next()
+        if op.text not in ("*", "/"):
+            raise FormulaError(
+                f"Invalid response transform near {op.text!r} in {resp!r} "
+                f"(only '*' and '/' are supported)"
+            )
+        t = p.next()
+        if t.kind == "name":
+            operand: object = t.text
+        elif t.kind == "num":
+            operand = float(t.text)
+        else:
+            raise FormulaError(f"Invalid transform operand {t.text!r} in {resp!r}")
+        transform.append((op.text, operand))
+    return name, tuple(transform)

@@ -1,0 +1,160 @@
+"""Laplace approximation for latent-GP posteriors (legacy capability:
+``laplace_approx``, /root/reference/test/oldtests.jl:57-58; SURVEY.md §2.11).
+
+Standard GPML Algorithm 3.1 (Rasmussen & Williams): Newton iteration for the
+mode of p(f | y, theta) with the stabilized B = I + sqrt(W) K sqrt(W)
+parameterization, giving
+
+    log q(y | theta) = -1/2 a^T f_hat + loglik(f_hat) - 1/2 log|B|
+
+— an approximate marginal likelihood that powers (a) a fast MAP-style
+hyperparameter path for non-Gaussian likelihoods (the analogue of the exact
+marginalized model used for Gaussian data) and (b) Gaussian posterior
+predictions around the mode.  Fixed Newton iteration count -> jit/grad-safe
+(gradients flow through the unrolled iterations).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaplac_tpu.inference.likelihoods import make_loglik
+from gaplac_tpu.inference.transforms import Interval
+from gaplac_tpu.inference.model import (
+    DEFAULT_PRIOR_BOUNDS,
+    GPModel,
+    _params_from,
+)
+from gaplac_tpu.kernels.covariance import CompiledKernel
+from gaplac_tpu.ops import linalg, mvn
+
+
+class LaplaceFit(NamedTuple):
+    f_mode: jnp.ndarray
+    log_marginal: jnp.ndarray
+    W: jnp.ndarray          # negative loglik curvature at the mode
+
+
+def laplace_approx(
+    K: jnp.ndarray,
+    y: jnp.ndarray,
+    loglik_fn: Callable,
+    aux: Optional[jnp.ndarray] = None,
+    num_iters: int = 15,
+) -> LaplaceFit:
+    """Newton mode-finding + Laplace marginal for latent f ~ N(0, K)."""
+    n = y.shape[0]
+    dtype = K.dtype
+    eye = jnp.eye(n, dtype=dtype)
+
+    ll = lambda f: jnp.sum(loglik_fn(y, f, aux))
+    grad_ll = jax.grad(ll)
+
+    def newton(f, _):
+        g = grad_ll(f)
+        W = jnp.maximum(-_diag_hess(loglik_fn, y, f, aux), 1e-9)
+        sw = jnp.sqrt(W)
+        B = eye + sw[:, None] * K * sw[None, :]
+        L = linalg.cholesky(B)
+        b = W * f + g
+        Kb = K @ b
+        v = linalg.solve_triangular(L, sw * Kb, lower=True)
+        a = b - sw * linalg.solve_triangular(L.T, v, lower=False)
+        f_new = K @ a
+        return f_new, None
+
+    f0 = jnp.zeros((n,), dtype)
+    f_hat, _ = jax.lax.scan(newton, f0, None, length=num_iters)
+
+    # final quantities at the mode
+    W = jnp.maximum(-_diag_hess(loglik_fn, y, f_hat, aux), 1e-9)
+    sw = jnp.sqrt(W)
+    B = eye + sw[:, None] * K * sw[None, :]
+    L = linalg.cholesky(B)
+    log_marginal = (
+        -0.5 * jnp.dot(f_hat, _K_inv_f(K, f_hat))
+        + ll(f_hat)
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+    )
+    return LaplaceFit(f_hat, log_marginal, W)
+
+
+def _diag_hess(loglik_fn, y, f, aux):
+    """Diagonal Hessian of the per-point loglik w.r.t. f (exact — the
+    likelihood factorizes over points)."""
+    def one(yi, fi, ai):
+        return jax.grad(jax.grad(lambda v: jnp.sum(loglik_fn(yi, v, ai))))(fi)
+
+    if aux is None:
+        return jax.vmap(lambda yi, fi: one(yi, fi, None))(y, f)
+    return jax.vmap(one)(y, f, aux)
+
+
+def _K_inv_f(K, f):
+    """K^{-1} f (K carries the model's jitter, so it is safely PD)."""
+    Lk = linalg.cholesky(K + 1e-8 * jnp.trace(K) / K.shape[0] * jnp.eye(K.shape[0], dtype=K.dtype))
+    a = linalg.solve_triangular(Lk, f, lower=True)
+    return linalg.solve_triangular(Lk.T, a, lower=False)
+
+
+def build_laplace_marginal(
+    ck: CompiledKernel,
+    slot_groups: Tuple[Tuple[int, ...], ...],
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    likelihood,
+    aux: Optional[jnp.ndarray] = None,
+    jitter: float = mvn.DEFAULT_JITTER,
+    prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
+    num_iters: int = 15,
+) -> GPModel:
+    """Approximate-marginal model for non-Gaussian likelihoods: NUTS/VI run
+    over theta only, with the latents integrated out by Laplace — the
+    analogue of build_gaussian_marginal (SURVEY.md §2.11 Laplace row)."""
+    tr = Interval(*prior_bounds)
+    nh = len(slot_groups)
+    n = y.shape[0]
+    dtype = X.dtype
+    params_from = _params_from(ck, slot_groups, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+    loglik_fn = make_loglik(likelihood)
+    y = jnp.asarray(y, dtype)
+    aux_arr = None if aux is None else jnp.asarray(aux, dtype)
+
+    def _fit(u):
+        theta = tr.forward(u)
+        K = ck.gram(params_from(theta), X) + jitter * eye
+        return theta, K, laplace_approx(K, y, loglik_fn, aux_arr, num_iters)
+
+    def logdensity(u: jnp.ndarray) -> jnp.ndarray:
+        _, _, fit = _fit(u)
+        return fit.log_marginal + jnp.sum(tr.uniform_logprior(u))
+
+    def report(key: jax.Array, u: jnp.ndarray):
+        theta, K, fit = _fit(u)
+        # Gaussian posterior around the mode: cov = (K^{-1} + W)^{-1}
+        sw = jnp.sqrt(fit.W)
+        B = eye + sw[:, None] * K * sw[None, :]
+        L = linalg.cholesky(B)
+        V = linalg.solve_triangular(L, sw[:, None] * K, lower=True)
+        cov = K - V.T @ V
+        Lc = linalg.cholesky(cov + 1e-8 * jnp.trace(cov) / n * eye)
+        f = fit.f_mode + Lc @ jax.random.normal(key, (n,), dtype)
+        lp = (
+            jnp.sum(tr.constrained_logprior(theta))
+            + mvn.mvn_logpdf(K, f)
+            + jnp.sum(loglik_fn(y, f, aux_arr))
+        )
+        return theta, f, lp
+
+    def initial_position(key: jax.Array) -> jnp.ndarray:
+        return jax.random.uniform(key, (nh,), dtype, -2.0, 2.0)
+
+    def position_from(theta, f):
+        return tr.inverse(jnp.asarray(theta, dtype))
+
+    return GPModel(nh, nh, logdensity, report, tr.forward, initial_position, True,
+                   position_from)
