@@ -1,0 +1,90 @@
+"""Component benchmarks: Gram GB/s and Cholesky GFLOP/s vs roofline
+(BASELINE.md "Gram + Cholesky throughput (GFLOP/s) at roofline" row).
+
+Run on the real chip:  python benchmarks/bench_ops.py
+Prints one JSON line per measurement.
+
+Timing protocol (see .claude/skills/verify/SKILL.md): in-graph chaining with
+a real data dependency + host-transfer sync — block_until_ready is async
+through the axon tunnel and XLA partial-evaluates un-consumed results.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chain_time(op, x, remake, reps=8):
+    @jax.jit
+    def many(x):
+        def body(c, _):
+            r = op(c)
+            return remake(r, c), ()
+        c, _ = lax.scan(body, x, None, length=reps)
+        return jnp.sum(jnp.abs(c))
+    float(many(x))
+    t0 = time.time()
+    float(many(x))
+    return (time.time() - t0) / reps
+
+
+def main():
+    from gaplac_tpu.dsl import parse_formula
+    from gaplac_tpu.kernels.covariance import compile_formula
+    from gaplac_tpu.ops.cholesky import blocked_cholesky
+    from gaplac_tpu.ops.gram import pallas_gram
+
+    backend = jax.default_backend()
+    print(f"# backend={backend}", file=sys.stderr)
+    results = []
+
+    ck = compile_formula(
+        parse_formula("y ~| SqExp(:t) * Cat(:g) + Linear(:x) + Noise").formula
+    )
+    p = ck.default_params(jnp.float32)
+
+    for n in (4096, 8192, 16384):
+        X = np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32)
+        X[:, 1] = np.floor(np.abs(X[:, 1]) * 2)
+        Xj = jnp.asarray(X)
+        remake = lambda K, c: c + 1e-30 * jnp.exp(-jnp.abs(jnp.mean(K)))
+        for name, op in (
+            ("gram_xla", lambda x: ck.gram(p, x)),
+            ("gram_pallas", lambda x: pallas_gram(ck, p, x)),
+        ):
+            t = chain_time(op, Xj, remake)
+            results.append({
+                "metric": f"{name} n={n}", "value": round(n * n * 4 / t / 1e9, 1),
+                "unit": "GB/s(out)", "seconds": round(t, 5),
+            })
+
+    for n in (2048, 4096, 8192):
+        Xg = np.random.default_rng(0).normal(size=(n, 16)).astype(np.float32)
+        K = jnp.asarray(Xg @ Xg.T / 16 + np.eye(n, dtype=np.float32))
+        def remake_chol(L, c):
+            M = L * lax.rsqrt(jnp.mean(L * L) + 1e-30)
+            return jnp.matmul(M, M.T) * 0.001 + jnp.eye(n, dtype=jnp.float32)
+        fl = n**3 / 3
+        for name, op in (
+            ("chol_xla", jnp.linalg.cholesky),
+            ("chol_blocked_hi", lambda A: blocked_cholesky(A, base=256)),
+            ("chol_blocked_fast", lambda A: blocked_cholesky(
+                A, base=256, precision=lax.Precision.DEFAULT)),
+        ):
+            t = chain_time(op, K, remake_chol)
+            results.append({
+                "metric": f"{name} n={n}", "value": round(fl / t / 1e9, 1),
+                "unit": "GFLOP/s", "seconds": round(t, 5),
+            })
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,11 @@ def main(argv=None) -> int:
 
     configure(args.platform, args.precision)
 
+    # multi-host SPMD when GAPLAC_COORDINATOR is set (pod launches)
+    from gaplac_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize()
+
     if args.command == "sample":
         from gaplac_tpu.cli.sample_cmd import run
     elif args.command == "mcmc":
