@@ -129,11 +129,10 @@ def run(args) -> None:
         thetas = np.zeros((1, 0))
         slots = ()
 
-    @jax.jit
     def predict_one(theta):
         p = ck.default_params(dtype)
-        if slots:
-            p = p.at[jnp.asarray(slots)].set(theta[0]) if theta.shape[0] else p
+        if slots:  # only non-empty on the --mcmc path, where theta is (1,)
+            p = p.at[jnp.asarray(slots)].set(theta[0])
         K_xx = ck.gram(p, X)
         K_tx = ck.gram(p, Xt, X)
         k_tt = ck.gram_diag(p, Xt) + args.jitter
@@ -143,14 +142,14 @@ def run(args) -> None:
         var = mvn.gp_predict_var(post, K_tx, k_tt)
         return mu, jnp.maximum(var, 1e-12)
 
-    mus, vars_ = [], []
-    for d in range(len(thetas)):
-        theta = jnp.asarray(thetas[d], dtype)
-        mu, var = predict_one(theta)
-        mus.append(np.asarray(mu))
-        vars_.append(np.asarray(var))
-    mus = np.stack(mus)
-    sds = np.sqrt(np.stack(vars_))
+    # lax.map keeps peak memory at one draw's O(n^2) buffers (a vmap would
+    # batch every draw's Gram + Cholesky simultaneously) while still paying
+    # a single dispatch
+    mus_j, vars_j = jax.jit(lambda ts: jax.lax.map(predict_one, ts))(
+        jnp.asarray(thetas, dtype)
+    )
+    mus = np.asarray(mus_j)
+    sds = np.sqrt(np.asarray(vars_j))
 
     ymu = mus.mean(axis=0)
     q05, q95 = mixture_quantiles(mus, sds, (0.05, 0.95))

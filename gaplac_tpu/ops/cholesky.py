@@ -23,11 +23,9 @@ via ``precision=`` for speed (DEFAULT = 1-pass bf16).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 try:  # Pallas is TPU/Mosaic; fall back to XLA base case off-TPU
