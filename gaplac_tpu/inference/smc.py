@@ -48,7 +48,7 @@ def run_smc(
     n_particles: int = 512,
     target_rel_ess: float = 0.5,
     rejuvenation_steps: int = 5,
-    rw_scale: float = 0.5,
+    rw_scale: float = 1.0,  # multiplier on the adaptive 2.38/sqrt(d) * sd scale
     max_stages: int = 50,
 ) -> SMCResult:
     """``sample_prior(key, n) -> (n, dim)``; logprior/loglik act on one
@@ -104,11 +104,18 @@ def run_smc(
         parts = c.particles[idx]
         lls = c.lls[idx]
 
-        # random-walk Metropolis rejuvenation at temperature beta_new
+        # random-walk Metropolis rejuvenation at temperature beta_new;
+        # proposal scale tracks the per-dimension particle spread (2.38/sqrt(d)
+        # of the current population sd — standard adaptive-RW tuning)
+        d_dim = parts.shape[1]
+        prop_sd = rw_scale * (2.38 / jnp.sqrt(1.0 * d_dim)) * (
+            jnp.std(parts, axis=0) + 1e-3
+        )
+
         def rw_step(carry, k):
             parts, lls, lps = carry
             k1, k2 = jax.random.split(k)
-            prop = parts + rw_scale * jax.random.normal(k1, parts.shape, dtype)
+            prop = parts + prop_sd * jax.random.normal(k1, parts.shape, dtype)
             lls_p = vlik(prop)
             lps_p = vprior(prop)
             log_acc = (lps_p + beta_new * lls_p) - (lps + beta_new * lls)
