@@ -10,8 +10,11 @@ through the axon tunnel and XLA partial-evaluates un-consumed results.
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.lax as lax

@@ -199,7 +199,8 @@ def run(args) -> None:
     @jax.jit
     @jax.vmap
     def chain_report(keys, qs):
-        return jax.vmap(model.report)(keys, qs)
+        # lax.map over draws keeps peak memory at one draw's O(n^2) buffers
+        return jax.lax.map(lambda kq: model.report(*kq), (keys, qs))
 
     with profiling.phase("mcmc.report"):
         thetas, fs, lps = chain_report(report_keys, positions)
@@ -309,7 +310,7 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
     @jax.jit
     @jax.vmap
     def chain_report(keys, qs):
-        return jax.vmap(model.report)(keys, qs)
+        return jax.lax.map(lambda kq: model.report(*kq), (keys, qs))
 
     thetas, fs, lps = chain_report(report_keys, positions)
     _emit_chains(
@@ -339,7 +340,7 @@ def _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_repor
     @jax.jit
     @jax.vmap
     def chain_report(keys, qs):
-        return jax.vmap(model.report)(keys, qs)
+        return jax.lax.map(lambda kq: model.report(*kq), (keys, qs))
 
     thetas, fs, lps = chain_report(report_keys, draws)
     _emit_chains(
