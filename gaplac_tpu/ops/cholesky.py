@@ -211,9 +211,23 @@ def blocked_solve_upper(U: jnp.ndarray, B: jnp.ndarray, base: int = BASE,
     return X[:, 0] if vec else X
 
 
+def adaptive_base(n: int) -> int:
+    """Block size scaling with n: the recursion emits O((n/base)^2) HLO ops,
+    so a fixed base=256 explodes compile time beyond n~8k.  n/16 (power-of-2,
+    >=256) keeps op count bounded while blocks stay MXU-sized."""
+    b = 256
+    while b * 16 < n:
+        b *= 2
+    return b
+
+
+def _auto_cholesky(A: jnp.ndarray) -> jnp.ndarray:
+    return blocked_cholesky(A, base=adaptive_base(A.shape[0]))
+
+
 def register(min_n: int = 2048) -> None:
     """Route gaplac_tpu.ops.linalg.cholesky to the blocked kernel for
     n >= min_n on TPU."""
     from gaplac_tpu.ops import linalg
 
-    linalg.register_pallas_cholesky(blocked_cholesky, min_n=min_n)
+    linalg.register_pallas_cholesky(_auto_cholesky, min_n=min_n)
