@@ -38,6 +38,51 @@ def design_matrix(df: pd.DataFrame, ck: CompiledKernel) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
+def design_matrices(
+    df_train: pd.DataFrame, df_test: pd.DataFrame, ck: CompiledKernel
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Train and test input matrices with CONSISTENT categorical codes:
+    non-numeric columns are factorized over the union of both tables so Cat
+    kernel equality compares the same levels across tables."""
+    n_train = len(df_train)
+    cols_train, cols_test = [], []
+    for v in ck.varnames:
+        for df in (df_train, df_test):
+            if v not in df.columns:
+                raise ValueError(
+                    f"Column {v!r} not found in data (available: {list(df.columns)})"
+                )
+        a, b = df_train[v], df_test[v]
+        if pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b):
+            cols_train.append(a.to_numpy(dtype=float))
+            cols_test.append(b.to_numpy(dtype=float))
+        else:
+            codes, _ = pd.factorize(pd.concat([a.astype(str), b.astype(str)],
+                                              ignore_index=True))
+            codes = codes.astype(float)
+            cols_train.append(codes[:n_train])
+            cols_test.append(codes[n_train:])
+    if not cols_train:
+        return np.zeros((n_train, 0)), np.zeros((len(df_test), 0))
+    return np.stack(cols_train, axis=1), np.stack(cols_test, axis=1)
+
+
+def resolve_hyper_columns(df: pd.DataFrame, n_hyper: int, path: str) -> list:
+    """Chain-schema hyperparameter column names (ℓ, ℓ_2, ... with ASCII
+    fallbacks) — the single source of truth for resume and predict."""
+    names = []
+    for g in range(n_hyper):
+        cands = (["ℓ", "l"] if g == 0 else []) + [f"ℓ_{g+1}", f"l_{g+1}"]
+        found = next((c for c in cands if c in df.columns), None)
+        if found is None:
+            raise ValueError(
+                f"Chain file {path!r} lacks hyperparameter column for group {g} "
+                f"(expected one of {cands}; found {list(df.columns)[:8]}...)"
+            )
+        names.append(found)
+    return names
+
+
 def apply_outlier_policy(df: pd.DataFrame, args, response: str) -> pd.DataFrame:
     """Legacy --rmv-outliers handling (bin/old_options.jl:32-41)."""
     method = getattr(args, "rmv_outliers", "none")

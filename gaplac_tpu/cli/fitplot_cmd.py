@@ -74,7 +74,9 @@ def run(args) -> None:
             params = params.at[jnp.asarray(slots)].set(theta)
         log.info("using chain posterior-mean hyperparameter %.3f", theta)
 
-    sigma2 = gaussian_obs_sigma2(spec.likelihood) or 1.0
+    sigma2 = gaussian_obs_sigma2(spec.likelihood)
+    if sigma2 is None:  # non-Gaussian: use unit obs noise for the decomposition
+        sigma2 = 1.0
     noise = args.jitter + sigma2
     S = ck.gram(params, X) + noise * jnp.eye(n, dtype=dtype)
     L = linalg.cholesky(S)

@@ -115,6 +115,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--infer", nargs="+", default=None,
                     help="Variables whose hyperparameter the chain inferred "
                     "(same as the mcmc run that produced --mcmc)")
+    pp.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
+                    help="Match the mcmc run's --infer-mode")
     pp.add_argument("--at", help="Points to predict at, e.g. 'x=-5:0.1:5;g=0'")
     pp.add_argument("--atdata", help="Table of points to predict at (alternative to --at)")
     pp.add_argument("-o", "--output", help="Output table (.csv/.tsv)")

@@ -196,15 +196,8 @@ def run(args) -> None:
     # materialize chain rows: theta (constrained), latent draw, reference lp
     report_keys = jax.random.split(k_report, n_chains * kept).reshape(n_chains, kept)
 
-    @jax.jit
-    @jax.vmap
-    def chain_report(keys, qs):
-        # lax.map over draws keeps peak memory at one draw's O(n^2) buffers
-        return jax.lax.map(lambda kq: model.report(*kq), (keys, qs))
-
     with profiling.phase("mcmc.report"):
-        thetas, fs, lps = chain_report(report_keys, positions)
-        thetas, fs, lps = np.asarray(thetas), np.asarray(fs), np.asarray(lps)
+        thetas, fs, lps = _chain_report(model, report_keys, positions)
 
     if args.checkpoint:
         _save_checkpoint(args.checkpoint, positions, res)
@@ -214,6 +207,19 @@ def run(args) -> None:
         args, model, y.shape[0], thetas, fs, lps,
         accepts=np.asarray(accepts), depths=np.asarray(depths), divs=np.asarray(divs),
     )
+
+
+def _chain_report(model, report_keys, positions):
+    """(chains, draws) report materialization; lax.map over draws keeps peak
+    memory at one draw's O(n^2) buffers."""
+
+    @jax.jit
+    @jax.vmap
+    def go(keys, qs):
+        return jax.lax.map(lambda kq: model.report(*kq), (keys, qs))
+
+    thetas, fs, lps = go(report_keys, positions)
+    return np.asarray(thetas), np.asarray(fs), np.asarray(lps)
 
 
 def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None, divs=None):
@@ -306,16 +312,8 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
     positions = res.positions[:, sl]
     kept = positions.shape[1]
     report_keys = jax.random.split(k_report, n_chains * kept).reshape(n_chains, kept)
-
-    @jax.jit
-    @jax.vmap
-    def chain_report(keys, qs):
-        return jax.lax.map(lambda kq: model.report(*kq), (keys, qs))
-
-    thetas, fs, lps = chain_report(report_keys, positions)
-    _emit_chains(
-        args, model, y.shape[0], np.asarray(thetas), np.asarray(fs), np.asarray(lps)
-    )
+    thetas, fs, lps = _chain_report(model, report_keys, positions)
+    _emit_chains(args, model, y.shape[0], thetas, fs, lps)
 
 
 def _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report):
@@ -336,30 +334,18 @@ def _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_repor
     report_keys = jax.random.split(k_report, n_chains * num_samples).reshape(
         n_chains, num_samples
     )
-
-    @jax.jit
-    @jax.vmap
-    def chain_report(keys, qs):
-        return jax.lax.map(lambda kq: model.report(*kq), (keys, qs))
-
-    thetas, fs, lps = chain_report(report_keys, draws)
-    _emit_chains(
-        args, model, y.shape[0], np.asarray(thetas), np.asarray(fs), np.asarray(lps)
-    )
+    thetas, fs, lps = _chain_report(model, report_keys, draws)
+    _emit_chains(args, model, y.shape[0], thetas, fs, lps)
 
 
 def _resume_from_chain(path: str, model, n_chains: int, dtype) -> jnp.ndarray:
     """Warm-start positions from a previous chain table's last row(s):
     theta from the hyperparameter column(s), and for latent models z
     recovered from the fx columns via z = L(theta)^{-1} f."""
+    from gaplac_tpu.cli.common import resolve_hyper_columns
+
     df = read_table(path)
-    hyper_cols = []
-    for g in range(model.n_hyper):
-        cands = (["ℓ", "l"] if g == 0 else []) + [f"ℓ_{g+1}", f"l_{g+1}"]
-        found = next((c for c in cands if c in df.columns), None)
-        if found is None:
-            raise ValueError(f"Chain {path!r} lacks hyperparameter column for group {g}")
-        hyper_cols.append(found)
+    hyper_cols = resolve_hyper_columns(df, model.n_hyper, path)
     fx_cols = sorted(
         (c for c in df.columns if c.startswith("fx[")),
         key=lambda c: int(c[3:-1]),

@@ -40,17 +40,10 @@ MAX_CHAIN_DRAWS = 200  # thin chains beyond this for prediction
 
 def _hyper_draws(chain_path: str, n_hyper: int) -> np.ndarray:
     """(draws, n_hyper) hyperparameter draws from an mcmc chain table."""
+    from gaplac_tpu.cli.common import resolve_hyper_columns
+
     df = read_table(chain_path)
-    names = []
-    for g in range(n_hyper):
-        cands = (["ℓ", "l"] if g == 0 else []) + [f"ℓ_{g+1}", f"l_{g+1}"]
-        found = next((c for c in cands if c in df.columns), None)
-        if found is None:
-            raise ValueError(
-                f"Chain file {chain_path!r} lacks hyperparameter column "
-                f"(expected one of {cands}; found {list(df.columns)[:8]}...)"
-            )
-        names.append(found)
+    names = resolve_hyper_columns(df, n_hyper, chain_path)
     draws = df[names].to_numpy(dtype=float)
     if len(draws) > MAX_CHAIN_DRAWS:
         idx = np.linspace(0, len(draws) - 1, MAX_CHAIN_DRAWS).astype(int)
@@ -89,7 +82,6 @@ def run(args) -> None:
     df = complete_cases(read_table(args.data))
     df = apply_outlier_policy(df, args, spec.response)
     y = jnp.asarray(response_vector(df, spec), dtype)
-    X = jnp.asarray(design_matrix(df, ck), dtype)
 
     # points to predict at
     if args.atdata:
@@ -99,7 +91,12 @@ def run(args) -> None:
         tdf = make_test_df(at, ck.varnames)
     else:
         raise ValueError("'predict' requires either '--at' or '--atdata'")
-    Xt = jnp.asarray(design_matrix(tdf, ck), dtype)
+    # categorical codes must be consistent ACROSS the two tables
+    from gaplac_tpu.cli.common import design_matrices
+
+    X_np, Xt_np = design_matrices(df, tdf, ck)
+    X = jnp.asarray(X_np, dtype)
+    Xt = jnp.asarray(Xt_np, dtype)
 
     sigma2 = gaussian_obs_sigma2(spec.likelihood)
     if sigma2 is None:
@@ -108,31 +105,34 @@ def run(args) -> None:
             "non-Gaussian likelihood %s treated as Gaussian(1)", spec.likelihood.name
         )
         sigma2 = 1.0
-    noise = args.jitter + sigma2
 
     if args.mcmc:
-        thetas = _hyper_draws(args.mcmc, n_hyper=1)
+        from gaplac_tpu.inference.model import slot_groups_for
+
+        shared = getattr(args, "infer_mode", "shared") == "shared"
         if args.infer:
-            slots = ck.param_slots_for_vars(args.infer)
+            slot_groups = slot_groups_for(ck, args.infer, shared=shared)
         else:
             # reference --infer semantics: one shared scalar; without --infer
             # we default to every lengthscale-kind leaf (SqExp/OU)
-            slots = tuple(
+            shared_slots = tuple(
                 i for i, k in enumerate(ck.kinds) if ck.leaf_vars[i] and k in (0, 1)
             )
-            if not slots:
+            if not shared_slots:
                 raise ValueError(
                     "predict --mcmc needs --infer to know which hyperparameters "
                     "the chain sampled"
                 )
+            slot_groups = (shared_slots,)
+        thetas = _hyper_draws(args.mcmc, n_hyper=len(slot_groups))
     else:
         thetas = np.zeros((1, 0))
-        slots = ()
+        slot_groups = ()
 
     def predict_one(theta):
         p = ck.default_params(dtype)
-        if slots:  # only non-empty on the --mcmc path, where theta is (1,)
-            p = p.at[jnp.asarray(slots)].set(theta[0])
+        for g, slots in enumerate(slot_groups):
+            p = p.at[jnp.asarray(slots)].set(theta[g])
         K_xx = ck.gram(p, X)
         K_tx = ck.gram(p, Xt, X)
         k_tt = ck.gram_diag(p, Xt) + args.jitter

@@ -35,9 +35,16 @@ def run(args) -> None:
     at = parse_at_ranges(args.at, formula=spec.formula, seed=args.seed)
     log.debug("Inferred ranges: %s", {k: len(v) for k, v in at.items()})
 
-    df = make_test_df(at, ck.varnames)
+    # grid over UNIQUE variables (a repeated var like SqExp(:x)*OU(:x) reads
+    # the same column twice — it must not become two independent grid axes)
+    unique_vars = list(dict.fromkeys(ck.varnames))
+    df = make_test_df(at, unique_vars)
     dtype = default_dtype()
-    X = jnp.asarray(df.values, dtype)
+    X = jnp.asarray(
+        np.stack([df[v].to_numpy(dtype=float) for v in ck.varnames], axis=1)
+        if ck.varnames else np.zeros((len(df), 0)),
+        dtype,
+    )
 
     seed = args.seed if args.seed is not None else int(np.random.SeedSequence().entropy % (2**63))
     key = jax.random.key(seed)

@@ -54,6 +54,20 @@ class CheesResult(NamedTuple):
     inv_mass: jnp.ndarray
 
 
+def _welford_update_batch(state, X):
+    """Fold a (chains, dim) batch into a Welford accumulator (Chan's
+    parallel combination of the batch's own mean/M2 with the running state)."""
+    c = X.shape[0]
+    bmean = jnp.mean(X, axis=0)
+    bm2 = jnp.sum((X - bmean) ** 2, axis=0)
+    n0 = state.count
+    n = n0 + c
+    delta = bmean - state.mean
+    mean = state.mean + delta * (c / n)
+    m2 = state.m2 + bm2 + delta * delta * (n0 * c / n)
+    return state._replace(mean=mean, m2=m2, count=n)
+
+
 def _halton(i: jnp.ndarray, base: int = 2) -> jnp.ndarray:
     """Halton low-discrepancy sequence element (float in (0,1)); matches the
     paper's jitter choice, computed branch-free for traced i."""
@@ -180,7 +194,9 @@ def run_chees(
         )
 
         if adapt:
-            wf = welford_update(c.wf, jnp.mean(q, axis=0))
+            # accumulate ALL chains' positions (batched Welford fold) — the
+            # estimator of the per-dimension posterior variance for the mass
+            wf = _welford_update_batch(c.wf, q)
             new = Carry(key, q, logp, grad, da, log_t_new, am, av, i, wf,
                         c.inv_mass, c.iter + 1)
         else:
@@ -204,20 +220,27 @@ def run_chees(
         iter=jnp.zeros((), jnp.int32),
     )
 
-    # warmup: two halves — first adapts eps/T with unit mass, second also
-    # estimates the diagonal mass from cross-chain position spread
+    # warmup: first half adapts eps/T with unit mass; at the midpoint the
+    # mass switches to the cross-chain variance snapshot; the second half
+    # re-adapts eps/T under that mass while a batched Welford accumulates
+    # (chains x iterations) positions, whose variance becomes the final mass
     def warm_step(c, _):
         return transition(c, adapt=True)
 
     h1 = num_warmup // 2
     carry, _ = jax.lax.scan(warm_step, carry, None, length=h1)
-    # mass from per-dimension cross-chain variance of current positions
     var = jnp.var(carry.q, axis=0) + 1e-3
     carry = carry._replace(inv_mass=var, wf=welford_init(dim, dtype))
     carry, _ = jax.lax.scan(warm_step, carry, None, length=num_warmup - h1)
 
+    inv_mass_final = welford_variance(carry.wf)
     eps_final = jnp.exp(carry.da.log_eps_avg)
-    carry = carry._replace(da=da_init(eps_final))
+    # rescale eps for the mass change: the whitened step per dim is
+    # eps*sqrt(inv_mass), so keeping it invariant needs
+    # eps_new = eps_old * sqrt(old/new) (geometric mean across dims)
+    ratio = jnp.exp(0.5 * jnp.mean(jnp.log(carry.inv_mass / inv_mass_final)))
+    eps_final = eps_final * ratio
+    carry = carry._replace(da=da_init(eps_final), inv_mass=inv_mass_final)
 
     def samp_step(c, _):
         return transition(c, adapt=False)

@@ -25,7 +25,11 @@ class Interval(NamedTuple):
         return self.lo + (self.hi - self.lo) * sigmoid(u)
 
     def inverse(self, x):
+        # clamp away from the boundaries: f32 chains can record draws exactly
+        # at lo/hi (sigmoid saturation), which would invert to +-inf and
+        # poison warm starts (chain extension)
         p = (x - self.lo) / (self.hi - self.lo)
+        p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
         return jnp.log(p) - jnp.log1p(-p)
 
     def log_jac(self, u):

@@ -83,15 +83,20 @@ int fastio_read(const char* path, char delim,
         }
         char* field = q;
         for (long c = 0; c < cols; ++c) {
-            char* endp = nullptr;
-            errno = 0;
-            double v = std::strtod(field, &endp);
-            if (endp == field) {
-                // empty field or non-numeric text
-                if (*field == delim || field >= line_end || *field == '\r') {
-                    v = NAN;
-                    endp = field;
-                } else {
+            // missing trailing fields: strtod would skip the newline and
+            // silently consume the NEXT row's value — guard on line_end first
+            char* scan = field;
+            while (scan < line_end && (*scan == ' ' || *scan == '\r')) ++scan;
+            double v;
+            char* endp;
+            if (scan >= line_end || *scan == delim) {
+                v = NAN;
+                endp = scan;
+            } else {
+                endp = nullptr;
+                errno = 0;
+                v = std::strtod(scan, &endp);
+                if (endp == scan || endp > line_end) {
                     std::free(data); std::free(header);
                     return -3;
                 }

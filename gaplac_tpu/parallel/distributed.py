@@ -119,7 +119,7 @@ def _dist_chol_local(K_local, nb: int, p: int, precision):
 
         # (3) all-gather the panel column and SYRK-update trailing columns
         F = lax.all_gather(L_panel_local, "data", tiled=True)   # (n, nb)
-        F_local = lax.dynamic_slice(F, (jnp.int32(row0) if isinstance(row0, int) else row0, jnp.int32(0)), (nb, nb))
+        F_local = lax.dynamic_slice(F, (row0, jnp.int32(0)), (nb, nb))
         upd = jnp.matmul(F_local, F.T, precision=precision)     # (nb, n)
         trailing = (cols[None, :] >= col0 + nb) & (local_rows[:, None] > col0 + nb - 1)
         return A - jnp.where(trailing, upd, 0.0)

@@ -181,3 +181,66 @@ def test_pervar_infer_mode(tmp_path):
     df = pd.read_csv(out, sep="\t")
     # two hyperparameter columns: one per inferred variable
     assert "ℓ" in df.columns and "ℓ_2" in df.columns
+
+
+def test_predict_consistent_categorical_codes(tmp_path):
+    # regression: train/test tables must share categorical codes
+    rng = np.random.default_rng(7)
+    train = pd.DataFrame({
+        "t": rng.uniform(0, 10, 30),
+        "g": (["b"] * 15 + ["a"] * 15),
+        "y": np.r_[np.full(15, 5.0), np.full(15, -5.0)] + rng.normal(0, 0.2, 30),
+    })
+    test = pd.DataFrame({"t": np.full(4, 5.0), "g": ["a", "b", "a", "b"]})
+    tr, te = tmp_path / "train.tsv", tmp_path / "test.tsv"
+    train.to_csv(tr, sep="\t", index=False)
+    test.to_csv(te, sep="\t", index=False)
+    out = tmp_path / "pred.tsv"
+    rc = main([
+        "--platform", "cpu", "predict", "y ~| SqExp(:t) + Cat(:g)",
+        "--data", str(tr), "--atdata", str(te), "--output", str(out),
+    ])
+    assert rc == 0
+    pred = pd.read_csv(out, sep="\t")
+    # group a ~ -5, group b ~ +5; codes must align even though the test
+    # table lists 'a' first while training lists 'b' first
+    assert pred["ymu"][0] < -2 and pred["ymu"][2] < -2   # 'a' rows
+    assert pred["ymu"][1] > 2 and pred["ymu"][3] > 2     # 'b' rows
+
+
+def test_sample_repeated_variable_single_axis(tmp_path):
+    out = tmp_path / "s.tsv"
+    rc = main([
+        "--platform", "cpu", "sample", "y :~| SqExp(:x) * OU(:x)",
+        "--at", "x=0:1:9", "--seed", "0", "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) == 10          # one axis, not a 100-row product grid
+    assert list(df.columns) == ["x", "y"]
+
+
+def test_predict_pervar_chain(tmp_path):
+    rng = np.random.default_rng(8)
+    n = 30
+    t = rng.uniform(0, 10, n)
+    x = rng.uniform(-3, 3, n)
+    y = np.sin(t) + 0.5 * x
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"t": t, "x": x, "y": y}).to_csv(data, sep="\t", index=False)
+    chain = tmp_path / "c.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:t) + OU(:x)", "--data", str(data),
+        "--infer", "t", "x", "--infer-mode", "pervar",
+        "--samples", "20", "--warmup", "60", "--output", str(chain),
+    ])
+    assert rc == 0
+    out = tmp_path / "p.tsv"
+    rc = main([
+        "--platform", "cpu", "predict", "y ~| SqExp(:t) + OU(:x)",
+        "--data", str(data), "--mcmc", str(chain),
+        "--infer", "t", "x", "--infer-mode", "pervar",
+        "--at", "t=0:2:10;x=0", "--output", str(out),
+    ])
+    assert rc == 0
+    assert np.isfinite(pd.read_csv(out, sep="\t")["ymu"]).all()

@@ -70,3 +70,16 @@ def test_native_read_speed(have_native, tmp_path):
     # native should not be slower than pandas by more than 2x (typically
     # it is several x faster); this is a sanity gate, not a benchmark
     assert t_native < max(2 * t_pandas, 1.0)
+
+
+def test_short_row_yields_nan_not_shift(have_native, tmp_path):
+    # regression: a short row must NOT consume the next row's first value
+    path = tmp_path / "short.csv"
+    path.write_text("a,b,c\n1,2\n3,4,5\n")
+    out = fastio.read_numeric(str(path), ",")
+    assert out is not None
+    names, arr = out
+    assert arr.shape == (2, 3)
+    np.testing.assert_allclose(arr[0][:2], [1.0, 2.0])
+    assert np.isnan(arr[0][2])
+    np.testing.assert_allclose(arr[1], [3.0, 4.0, 5.0])
