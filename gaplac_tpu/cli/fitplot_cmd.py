@@ -23,7 +23,7 @@ import numpy as np
 
 from gaplac_tpu.cli.common import design_matrix, response_vector
 from gaplac_tpu.cli.runtime import default_dtype
-from gaplac_tpu.data import complete_cases, read_table
+from gaplac_tpu.data import complete_cases, load_tables
 from gaplac_tpu.dsl import parse_formula
 from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2
 from gaplac_tpu.kernels.covariance import CompiledKernel, compile_formula
@@ -57,7 +57,7 @@ def run(args) -> None:
 
     from gaplac_tpu.cli.common import apply_outlier_policy
 
-    df = complete_cases(read_table(args.data))
+    df = complete_cases(load_tables(args.data))
     df = apply_outlier_policy(df, args, spec.response)
     y = jnp.asarray(response_vector(df, spec), dtype)
     X = jnp.asarray(design_matrix(df, ck), dtype)

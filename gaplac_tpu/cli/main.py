@@ -39,10 +39,24 @@ def build_parser() -> argparse.ArgumentParser:
     # -- sample (ref: CLI/src/main.jl:34-46) -------------------------------
     ps = sub.add_parser("sample", help="Sample from the GP prior at given inputs")
     ps.add_argument("spec", help="GP formula specification, e.g. \"y :~| SqExp(:x; l=1)\"")
-    ps.add_argument("--at", required=True, help="Range to sample at, eg 'x=-5:0.1:5'")
+    ps.add_argument("--at", help="Range to sample at, eg 'x=-5:0.1:5' "
+                    "(grouped 'var/group=...' supported)")
+    ps.add_argument("--atdata", help="Table of points to sample at (alternative to --at)")
+    ps.add_argument("-i", "--data",
+                    help="Training data — when given, sample the POSTERIOR GP "
+                    "conditioned on it (legacy sample contract, bin/old_options.jl:93-118)")
+    ps.add_argument("-m", "--mcmc",
+                    help="MCMC chain of hyperparameter draws (with --data); "
+                    "one chain row is drawn per sample")
+    ps.add_argument("--infer", nargs="+", default=None,
+                    help="Variables the --mcmc chain inferred (as in the mcmc run)")
+    ps.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared")
     ps.add_argument("--plot", help="File to plot to")
-    ps.add_argument("-o", "--output", help="Table output - must end with '.csv' or '.tsv'")
+    ps.add_argument("--plotx", help="Plot x axis: 'x' or 'x:group' (legacy --plotx)")
+    ps.add_argument("-o", "--output", help="Table output - '.csv', '.tsv', or 'stdout'")
     ps.add_argument("--seed", type=int, default=None, help="PRNG seed")
+    ps.add_argument("--jitter", type=float, default=0.1, help="Latent GP noise floor")
+    _add_outlier_flags(ps)
 
     # -- mcmc (ref: CLI/src/main.jl:48-77) ---------------------------------
     pm = sub.add_parser("mcmc", help="Run MCMC (NUTS) over kernel hyperparameters")

@@ -27,7 +27,7 @@ import pandas as pd
 
 from gaplac_tpu.cli.common import design_matrix, response_vector, column_values
 from gaplac_tpu.cli.runtime import default_dtype
-from gaplac_tpu.data import df_output, read_table
+from gaplac_tpu.data import df_output, load_tables, read_table
 from gaplac_tpu.dsl import parse_formula
 from gaplac_tpu.inference.diagnostics import summarize
 from gaplac_tpu.inference.model import build_model
@@ -54,7 +54,7 @@ def run(args) -> None:
     spec = parse_formula(args.formula)
     log.debug("GP formula: %s", spec.formula)
 
-    df = read_table(args.data)
+    df = load_tables(args.data)
     from gaplac_tpu.cli.common import apply_outlier_policy
 
     df = apply_outlier_policy(df, args, spec.response)

@@ -27,8 +27,8 @@ from scipy.special import ndtr
 
 from gaplac_tpu.cli.common import design_matrix, response_vector
 from gaplac_tpu.cli.runtime import default_dtype
-from gaplac_tpu.data import complete_cases, df_output, make_test_df, read_table
-from gaplac_tpu.dsl import parse_at_ranges, parse_formula
+from gaplac_tpu.data import complete_cases, df_output, load_tables, read_table
+from gaplac_tpu.dsl import build_at_frame, parse_formula
 from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2
 from gaplac_tpu.kernels.covariance import compile_formula
 from gaplac_tpu.ops import mvn
@@ -79,16 +79,15 @@ def run(args) -> None:
 
     from gaplac_tpu.cli.common import apply_outlier_policy
 
-    df = complete_cases(read_table(args.data))
+    df = complete_cases(load_tables(args.data))
     df = apply_outlier_policy(df, args, spec.response)
     y = jnp.asarray(response_vector(df, spec), dtype)
 
     # points to predict at
     if args.atdata:
-        tdf = complete_cases(read_table(args.atdata))
+        tdf = complete_cases(load_tables(args.atdata))
     elif args.at:
-        at = parse_at_ranges(args.at, formula=spec.formula, seed=args.seed)
-        tdf = make_test_df(at, ck.varnames)
+        tdf = build_at_frame(args.at, formula=spec.formula, seed=args.seed)
     else:
         raise ValueError("'predict' requires either '--at' or '--atdata'")
     # categorical codes must be consistent ACROSS the two tables

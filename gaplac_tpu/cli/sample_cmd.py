@@ -1,9 +1,15 @@
-"""`sample` command — draw from the GP prior on a Cartesian grid.
+"""`sample` command — draw from the GP prior (or posterior) at given inputs.
 
 Reference parity: /root/reference/CLI/src/sample.jl:7-44 — parse spec, build
 kernel, eval --at ranges, Cartesian grid, ``rand(gp(RowVecs(X), 0.1))``,
 append response column, table output, optional 1-variable plot (warn for
 multivariable formulas).
+
+Legacy envelope (bin/old_options.jl:93-118, test/oldtests.jl:48): ``--data``
+conditions the GP on training data and samples the POSTERIOR at the
+``--at``/``--atdata`` points; ``--mcmc`` draws the hyperparameters from a
+chain row; ``--plotx "x:group"`` plots against x grouped/colored by a
+grouping variable.
 """
 
 from __future__ import annotations
@@ -15,8 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaplac_tpu.cli.runtime import default_dtype
-from gaplac_tpu.data import df_output, make_test_df
-from gaplac_tpu.dsl import parse_at_ranges, parse_formula
+from gaplac_tpu.data import df_output, load_tables
+from gaplac_tpu.dsl import build_at_frame, parse_formula
 from gaplac_tpu.kernels.covariance import compile_formula
 from gaplac_tpu.ops import mvn
 
@@ -32,42 +38,113 @@ def run(args) -> None:
     ck = compile_formula(spec.formula)
     log.debug("Model variables: %s", ck.varnames)
 
-    at = parse_at_ranges(args.at, formula=spec.formula, seed=args.seed)
-    log.debug("Inferred ranges: %s", {k: len(v) for k, v in at.items()})
-
-    # grid over UNIQUE variables (a repeated var like SqExp(:x)*OU(:x) reads
-    # the same column twice — it must not become two independent grid axes)
-    unique_vars = list(dict.fromkeys(ck.varnames))
-    df = make_test_df(at, unique_vars)
+    if getattr(args, "atdata", None):
+        df = load_tables(args.atdata).reset_index(drop=True)
+    elif args.at:
+        df = build_at_frame(args.at, formula=spec.formula, seed=args.seed)
+    else:
+        raise ValueError("'sample' requires either '--at' or '--atdata'")
     dtype = default_dtype()
-    X = jnp.asarray(
-        np.stack([df[v].to_numpy(dtype=float) for v in ck.varnames], axis=1)
-        if ck.varnames else np.zeros((len(df), 0)),
-        dtype,
-    )
 
     seed = args.seed if args.seed is not None else int(np.random.SeedSequence().entropy % (2**63))
     key = jax.random.key(seed)
     params = ck.default_params(dtype)
-    K = ck.gram(params, X)
-    y = mvn.sample_mvn(key, K, jitter=mvn.DEFAULT_JITTER)  # ref: rand(gp(X, 0.1))
+    jitter = getattr(args, "jitter", mvn.DEFAULT_JITTER)
+
+    if getattr(args, "data", None):
+        y = _sample_posterior(args, spec, ck, df, params, key, dtype, jitter)
+    else:
+        from gaplac_tpu.cli.common import design_matrix
+
+        X = jnp.asarray(design_matrix(df, ck), dtype)
+        K = ck.gram(params, X)
+        y = mvn.sample_mvn(key, K, jitter=jitter)  # ref: rand(gp(X, 0.1))
     df[spec.response] = np.asarray(y)
 
     df_output(df, args.output)
 
     if args.plot:
-        if len(ck.varnames) > 1:
-            log.warning(
-                "Auto-generated sample plots not available for multivariable models, "
-                "use `--output` to make a table and plot manually"
-            )
-        else:
-            log.info("Plotting output")
-            from gaplac_tpu.viz.plots import sample_plot
+        _plot(args, spec, ck, df)
 
-            fig = sample_plot(
-                ck, df[ck.varnames[0]].values, df[spec.response].values,
-                xlabel=ck.varnames[0], ylabel=spec.response,
-            )
-            fig.savefig(args.plot, dpi=120)
-            log.info("Saved plot to %s", args.plot)
+
+def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
+    """Posterior draw at the test points, conditioned on --data (legacy
+    samplegp contract; hyperparameters from a random --mcmc chain row)."""
+    from gaplac_tpu.cli.common import (
+        apply_outlier_policy, design_matrices, response_vector,
+    )
+    from gaplac_tpu.data import complete_cases
+
+    df = complete_cases(load_tables(args.data))
+    df = apply_outlier_policy(df, args, spec.response)
+    y = jnp.asarray(response_vector(df, spec), dtype)
+    X_np, Xt_np = design_matrices(df, tdf, ck)
+    X, Xt = jnp.asarray(X_np, dtype), jnp.asarray(Xt_np, dtype)
+
+    if getattr(args, "mcmc", None):
+        from gaplac_tpu.cli.predict_cmd import _hyper_draws
+        from gaplac_tpu.inference.model import slot_groups_for
+
+        shared = getattr(args, "infer_mode", "shared") == "shared"
+        infer = args.infer or sorted(
+            {v for i, v in enumerate(ck.leaf_vars) if v and ck.kinds[i] in (0, 1)}
+        )
+        slot_groups = slot_groups_for(ck, infer, shared=shared)
+        draws = _hyper_draws(args.mcmc, n_hyper=len(slot_groups))
+        row = int(jax.random.randint(key, (), 0, len(draws)))
+        theta = draws[row]
+        log.info("Using hyperparameters from chain row %d: %s", row, theta)
+        for g, slots in enumerate(slot_groups):
+            params = params.at[jnp.asarray(slots)].set(theta[g])
+
+    from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2
+
+    sigma2 = gaussian_obs_sigma2(spec.likelihood)
+    if sigma2 is None:
+        log.warning("non-Gaussian likelihood %s treated as Gaussian(1) for "
+                    "posterior sampling", spec.likelihood.name)
+        sigma2 = 1.0
+
+    K_xx = ck.gram(params, X) + jitter * jnp.eye(X.shape[0], dtype=dtype)
+    K_tx = ck.gram(params, Xt, X)
+    K_tt = ck.gram(params, Xt)
+    post = mvn.gp_posterior_cache(K_xx, y, sigma2)
+    mu = mvn.gp_predict_mean(post, K_tx)
+    cov = mvn.gp_predict_cov(post, K_tx, K_tt)
+    return mvn.sample_mvn(jax.random.fold_in(key, 1), cov, mean=mu, jitter=jitter)
+
+
+def _plot(args, spec, ck, df) -> None:
+    from gaplac_tpu.viz.plots import grouped_sample_plot, sample_plot
+
+    plotx = getattr(args, "plotx", None)
+    group = None
+    if plotx:
+        xvar, _, group = plotx.partition(":")
+        xvar = xvar.strip()
+        group = group.strip() or None
+        if xvar not in df.columns or (group and group not in df.columns):
+            raise ValueError(f"--plotx names unknown column(s) in {plotx!r}")
+    elif len(set(ck.varnames)) == 1:
+        xvar = ck.varnames[0]
+    else:
+        log.warning(
+            "Auto-generated sample plots not available for multivariable models, "
+            "use `--plotx x[:group]` or `--output` to make a table and plot manually"
+        )
+        return
+    log.info("Plotting output")
+    if group or len(set(ck.varnames)) > 1:
+        # grouped or multivariable: scatter/lines per group (no 1-D GP refit)
+        fig = grouped_sample_plot(
+            df[xvar].values, df[spec.response].values,
+            df[group].values if group else None,
+            xlabel=xvar, ylabel=spec.response, grouplabel=group,
+        )
+    else:
+        fig = sample_plot(
+            ck, df[xvar].values, df[spec.response].values,
+            xlabel=xvar, ylabel=spec.response,
+        )
+    fig.savefig(args.plot, dpi=120)
+    log.info("Saved plot to %s", args.plot)

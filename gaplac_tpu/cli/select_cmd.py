@@ -33,7 +33,7 @@ from scipy.special import logsumexp
 
 from gaplac_tpu.cli.common import design_matrix, response_vector
 from gaplac_tpu.cli.runtime import default_dtype
-from gaplac_tpu.data import complete_cases, read_table
+from gaplac_tpu.data import complete_cases, load_tables, read_table
 from gaplac_tpu.dsl import parse_formula
 from gaplac_tpu.kernels.covariance import compile_formula
 from gaplac_tpu.ops import mvn
@@ -88,7 +88,7 @@ def run(args) -> None:
         spec2 = parse_formula(formulae[1])
         log.debug("GP formulae: %s | %s", spec1.formula, spec2.formula)
 
-        df = complete_cases(read_table(args.data))
+        df = complete_cases(load_tables(args.data))
         dtype = default_dtype()
 
         def fixed_lp(spec):

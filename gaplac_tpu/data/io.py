@@ -13,8 +13,11 @@ data/fastio.py); mixed-type tables fall back to pandas transparently.
 
 from __future__ import annotations
 
+import io
 import logging
 import os
+import re
+import sys
 from typing import Optional
 
 import numpy as np
@@ -44,6 +47,100 @@ def read_table(path: str) -> pd.DataFrame:
     return pd.read_csv(path, sep=sep)
 
 
+def _transpose_table(df: pd.DataFrame) -> pd.DataFrame:
+    """'#' flag: transpose a wide table.  The first column becomes the header
+    (its values name the new columns); the original header row becomes a new
+    first column, named after the original first-column header.  Numeric
+    columns are re-coerced after the transpose."""
+    first = str(df.columns[0])
+    out = df.set_index(df.columns[0]).T.reset_index(names=first)
+    out.columns = [str(c) for c in out.columns]
+    for c in out.columns:
+        coerced = pd.to_numeric(out[c], errors="coerce")
+        if not coerced.isna().any():
+            out[c] = coerced
+    return out
+
+
+def _load_one_source(part: str) -> tuple:
+    """One ``--data`` entry: ``[flags][joinkey]:path`` or plain ``path``.
+
+    Flags (legacy mini-DSL, bin/old_options.jl:32): ``#`` transposes the
+    table, ``,`` forces CSV, ``~`` forces TSV (otherwise the delimiter is
+    sniffed); remaining prefix characters name the join column (after
+    transposition, a row key becomes a column key).  ``stdin`` reads the
+    table from standard input.  Returns (join_key or None, DataFrame).
+    """
+    part = part.strip()
+    prefix, sep_flag, transpose = "", None, False
+    if ":" in part:
+        prefix, rest = part.split(":", 1)
+        # a ':' may also appear inside a plain path; only treat the prefix as
+        # flags when it looks like one (flag chars + identifier, no / or .)
+        if re.fullmatch(r"[#,~]*[A-Za-z_][A-Za-z_0-9]*|[#,~]+|", prefix):
+            part = rest
+        else:
+            prefix = ""
+    key = ""
+    for ch in prefix:
+        if ch == "#":
+            transpose = True
+        elif ch == ",":
+            sep_flag = ","
+        elif ch == "~":
+            sep_flag = "\t"
+        else:
+            key += ch
+    if part == "stdin":
+        text = sys.stdin.read()
+        header = text.splitlines()[0] if text else ""
+        sep = sep_flag or (
+            "\t" if header.count("\t") >= header.count(",") and "\t" in header else ","
+        )
+        df = pd.read_csv(io.StringIO(text), sep=sep)
+    else:
+        path = os.path.expanduser(part)
+        df = pd.read_csv(path, sep=sep_flag or _sniff_sep(path))
+    if transpose:
+        df = _transpose_table(df)
+    return (key or None, df)
+
+
+def load_tables(arg: str) -> pd.DataFrame:
+    """Legacy ``--data`` mini-DSL (bin/old_options.jl:32): ``;``-separated
+    sources joined left-to-right.  ``id:data.tsv;#subjectid:subjects.tsv``
+    reads data.tsv, transposes subjects.tsv, and inner-joins data.tsv's
+    ``id`` column against subjects.tsv's ``subjectid`` row.  Sources without
+    join keys merge on their common columns.  A single plain path goes
+    through the fast :func:`read_table` reader."""
+    parts = [s for s in arg.split(";") if s.strip()]
+    if not parts:
+        raise ValueError("--data argument is empty")
+    if len(parts) == 1 and ":" not in parts[0] and parts[0].strip() != "stdin":
+        return read_table(parts[0].strip())
+    result, base_key = None, None
+    for part in parts:
+        key, df = _load_one_source(part)
+        if result is None:
+            result, base_key = df, key
+            continue
+        if base_key and key:
+            merged = result.merge(df, left_on=base_key, right_on=key, how="inner")
+        elif base_key or key:
+            merged = result.merge(df, on=(base_key or key), how="inner")
+        else:
+            common = [c for c in result.columns if c in df.columns]
+            if not common:
+                raise ValueError(
+                    f"Cannot join {part!r}: no join key given and no common columns"
+                )
+            merged = result.merge(df, on=common, how="inner")
+        log.info("Joined %s: %d rows (was %d + %d)", part, len(merged),
+                 len(result), len(df))
+        result = merged
+    return result
+
+
 def complete_cases(df: pd.DataFrame) -> pd.DataFrame:
     """Drop rows with missing values (ref: completecases filter, select.jl:39)."""
     return df.dropna().reset_index(drop=True)
@@ -51,7 +148,10 @@ def complete_cases(df: pd.DataFrame) -> pd.DataFrame:
 
 def df_output(df: pd.DataFrame, output: Optional[str]) -> None:
     """Write by extension, or print when no output path (ref: utils.jl:30-40)."""
-    if output is not None:
+    if output in ("stdout", "-"):
+        # legacy default: full table to stdout (bin/old_options.jl:60)
+        df.to_csv(sys.stdout, sep="\t", index=False)
+    elif output is not None:
         log.info("Writing to `%s`", output)
         out = os.path.expanduser(output)
         if out.endswith("csv"):

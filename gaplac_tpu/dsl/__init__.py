@@ -6,4 +6,6 @@ from gaplac_tpu.dsl.parser import (
     FormulaError, LikelihoodSpec, Spec, parse_formula, parse_kernel_expr,
     parse_likelihood, GAUSSIAN,
 )
-from gaplac_tpu.dsl.ranges import RangeError, default_range, parse_at_ranges
+from gaplac_tpu.dsl.ranges import (
+    RangeError, build_at_frame, default_range, parse_at_ranges,
+)

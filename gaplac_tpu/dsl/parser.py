@@ -291,6 +291,18 @@ def _parse_factor(p: _Parser) -> GPComponent:
         node = _parse_kernelexpr(p)
         p.expect(")")
         return node
+    if t.kind == "num" and t.text == "1":
+        # legacy constant-kernel spelling `1` / `1(c)` (test/oldtests.jl:48
+        # "1(1) * Cat(person) * ..."; SURVEY.md §2.11)
+        p.next()
+        nxt = p.peek()
+        if nxt is not None and nxt.text == "(":
+            p.next()
+            c = p.number()
+            p.expect(")")
+        else:
+            c = 1.0
+        return Constant("", c=float(c))
     if t.kind != "name" or t.text.lower() not in _KERNEL_NAMES:
         raise FormulaError(
             f"Unknown kernel {t.text!r} at {t.pos} "

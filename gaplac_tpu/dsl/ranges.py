@@ -5,12 +5,18 @@ eval's the assignments as Julia code.  We support the documented subset with
 a real parser (SURVEY.md §2.12 "dsl" row):
 
     assignments := assignment ((";" | newline) assignment)*
-    assignment  := var "=" value
-    value       := range | scalar | list | randcall
+    assignment  := var ["/" group] "=" value     # var/group: per-group values
+    value       := range | scalar | list | randcall | rangecall
     range       := num ":" num [":" num]        # Julia a:b / a:step:b, INCLUSIVE
     list        := "[" num ("," num)* "]"
     randcall    := "rand" "(" dist "," int ")"
     dist        := ("Uniform"|"Normal") "(" num "," num ")"
+    rangecall   := "range" "(" num "," num "," "length" "=" int ")"
+
+``var/group=value`` (legacy: bin/old_options.jl:87, test/oldtests.jl:48) nests
+the variable inside each level of ``group``: the value expression is
+re-evaluated per distinct group level (fresh ``rand`` draws per level), and
+the frame is expanded accordingly (see ``build_at_frame``).
 
 Unspecified formula variables get per-kernel default ranges
 (ref: _default_range, abstractgp_translations.jl:3-6): SqExp/OU -> 1:10,
@@ -57,6 +63,12 @@ def _parse_value(text: str, rng: np.random.Generator) -> np.ndarray:
         if dist == "Uniform":
             return rng.uniform(a, b, size=n)
         return rng.normal(a, b, size=n)
+    # range(a, b, length=n)  (Julia range call, test/oldtests.jl:48)
+    m = re.fullmatch(
+        rf"range\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*,\s*length\s*=\s*(\d+)\s*\)", text
+    )
+    if m:
+        return np.linspace(float(m.group(1)), float(m.group(2)), int(m.group(3)))
     # [a, b, c]
     m = re.fullmatch(r"\[(.*)\]", text)
     if m:
@@ -97,6 +109,24 @@ def default_range(leaf: Leaf) -> np.ndarray:
     raise RangeError(f"No default range for {type(leaf).__name__}")
 
 
+def _split_assignments(at: str):
+    """``--at`` assignments as (var, group|None, value_text) triples."""
+    entries = []
+    for seg in re.split(r"[;\n]", at):
+        seg = seg.strip()
+        if not seg:
+            continue
+        m = re.match(
+            r"([A-Za-z_][A-Za-z_0-9]*)\s*(?:/\s*([A-Za-z_][A-Za-z_0-9]*))?\s*=\s*(.*)",
+            seg,
+            re.DOTALL,
+        )
+        if m is None:
+            raise RangeError(f"Only assignments allowed in `--at` argument (got {seg!r})")
+        entries.append((m.group(1), m.group(2), m.group(3)))
+    return entries
+
+
 def parse_at_ranges(
     at: str,
     formula: Optional[GPComponent] = None,
@@ -105,20 +135,91 @@ def parse_at_ranges(
     """Parse the ``--at`` argument into {var: values}; unspecified formula
     variables are filled from per-kernel defaults (ref: getatrange,
     interface.jl:44-66). Assignments separate on ';' or newlines (legacy DSL
-    used ';', bin/old_options.jl:87)."""
+    used ';', bin/old_options.jl:87).  Grouped ``var/group=`` assignments need
+    a frame, not a dict — use :func:`build_at_frame`."""
     atdict: Dict[str, np.ndarray] = {}
     rng = np.random.default_rng(seed)
-    for seg in re.split(r"[;\n]", at):
-        seg = seg.strip()
-        if not seg:
-            continue
-        m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\s*=\s*(.*)", seg, re.DOTALL)
-        if m is None:
-            raise RangeError(f"Only assignments allowed in `--at` argument (got {seg!r})")
-        atdict[m.group(1)] = _parse_value(m.group(2), rng)
+    for var, group, text in _split_assignments(at):
+        if group is not None:
+            raise RangeError(
+                f"Grouped assignment {var}/{group} requires build_at_frame "
+                "(supported by the sample/predict commands)"
+            )
+        atdict[var] = _parse_value(text, rng)
     if formula is not None:
         for leaf in leaves(formula):
             for var in leaf.varnames():
                 if var not in atdict:
                     atdict[var] = default_range(leaf)
     return atdict
+
+
+def build_at_frame(
+    at: str,
+    formula: Optional[GPComponent] = None,
+    seed: Optional[int] = None,
+):
+    """Evaluate ``--at`` to a pandas DataFrame of evaluation points.
+
+    Ungrouped assignments form a Cartesian grid (first variable varying
+    fastest — ref: _make_test_grid, utils.jl:1-6).  A grouped assignment
+    ``var/group=value`` (legacy --at syntax, bin/old_options.jl:87; driven in
+    test/oldtests.jl:48 as ``time/person=range(-5,5,length=6)``) expands each
+    existing row by the value list, re-evaluating the value expression per
+    distinct level of ``group`` — so ``rand`` draws differ between groups.
+    Unspecified formula variables get per-kernel default ranges.
+    """
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    entries = _split_assignments(at)
+    specified = {var for var, _, _ in entries}
+    if formula is not None:
+        for leaf in leaves(formula):
+            for var in leaf.varnames():
+                if var not in specified:
+                    entries.append((var, None, None))
+                    specified.add(var)
+
+    # Cartesian base grid over ungrouped variables, in assignment order
+    base_vars, base_vals = [], []
+    grouped = []
+    for var, group, text in entries:
+        if group is None:
+            vals = (
+                _parse_value(text, rng)
+                if text is not None
+                else _default_for(formula, var)
+            )
+            base_vars.append(var)
+            base_vals.append(vals)
+        else:
+            grouped.append((var, group, text))
+    from gaplac_tpu.data.grid import make_test_grid
+
+    grid = make_test_grid(*base_vals)
+    df = pd.DataFrame(grid, columns=base_vars)
+
+    for var, group, text in grouped:
+        if group not in df.columns:
+            raise RangeError(
+                f"Grouping variable {group!r} for {var!r} is not defined before it"
+            )
+        pieces = []
+        levels = list(dict.fromkeys(df[group].tolist()))  # first-appearance order
+        per_level = {g: _parse_value(text, rng) for g in levels}
+        for _, row in df.iterrows():
+            vals = per_level[row[group]]
+            block = pd.DataFrame([row] * len(vals)).reset_index(drop=True)
+            block[var] = np.asarray(vals, dtype=float)
+            pieces.append(block)
+        df = pd.concat(pieces, ignore_index=True)
+    return df
+
+
+def _default_for(formula: Optional[GPComponent], var: str) -> np.ndarray:
+    if formula is not None:
+        for leaf in leaves(formula):
+            if var in leaf.varnames():
+                return default_range(leaf)
+    raise RangeError(f"No value given and no default range for variable {var!r}")

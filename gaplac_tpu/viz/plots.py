@@ -61,6 +61,41 @@ def sample_plot(
     return fig
 
 
+def grouped_sample_plot(
+    x: np.ndarray,
+    y: np.ndarray,
+    groups: Optional[np.ndarray],
+    xlabel: str,
+    ylabel: str,
+    grouplabel: Optional[str] = None,
+):
+    """Scatter + per-group connecting lines (legacy ``--plotx "x:group"``,
+    bin/old_options.jl:116-118 / test/oldtests.jl:48)."""
+    fig, ax = plt.subplots(figsize=(8, 5))
+    x, y = np.asarray(x, float), np.asarray(y, float)
+    if groups is None:
+        order = np.argsort(x)
+        ax.scatter(x, y, color="purple", s=18, zorder=3)
+        ax.plot(x[order], y[order], color="purple", lw=0.8, alpha=0.5)
+    else:
+        groups = np.asarray(groups)
+        levels = list(dict.fromkeys(groups.tolist()))
+        cmap = plt.get_cmap("tab10")
+        for i, g in enumerate(levels):
+            m = groups == g
+            order = np.argsort(x[m])
+            color = cmap(i % 10)
+            ax.scatter(x[m], y[m], color=color, s=18, zorder=3,
+                       label=f"{grouplabel}={g}")
+            ax.plot(x[m][order], y[m][order], color=color, lw=0.8, alpha=0.6)
+        if len(levels) <= 12:
+            ax.legend()
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    fig.tight_layout()
+    return fig
+
+
 def trace_plot(draws: np.ndarray, names: Sequence[str]):
     """Trace + histogram per hyperparameter, (chains, draws, k) array."""
     draws = np.asarray(draws)
