@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
                     help="shared (reference parity: ONE scalar for all --infer vars) "
                     "or pervar (one hyperparameter per distinct variable)")
+    pm.add_argument("--progress", action="store_true",
+                    help="Emit in-run progress lines from the compiled sampler "
+                    "(ref: Turing progress=true; off by default — each tick is "
+                    "a host callback, which can stall a remote TPU tunnel)")
     pm.add_argument("--check-numerics", action="store_true",
                     help="Enable jax NaN/Inf debugging (jax_debug_nans)")
     pm.add_argument("--approx", choices=["none", "laplace"], default="none",

@@ -153,6 +153,8 @@ def run(args) -> None:
             target_accept=args.target_accept,
             initial_step_size=eps0,
             initial_inv_mass=im0,
+            # progress callbacks interleave under vmap: single-chain only
+            progress=getattr(args, "progress", False) and n_chains == 1,
         )
 
     from gaplac_tpu.utils import profiling
@@ -295,6 +297,7 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
             lambda k: run_chees(
                 k, model.logdensity, q0, num_samples, num_warmup=num_warmup,
                 target_accept=args.target_accept,
+                progress=getattr(args, "progress", False),
             )
         )(k_run)
         float(jnp.sum(res.step_size))

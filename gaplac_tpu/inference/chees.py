@@ -95,6 +95,7 @@ def run_chees(
     init_step_size: float = 0.1,
     init_traj_length: float = 1.0,
     adam_lr: float = 0.025,
+    progress: bool = False,
 ) -> CheesResult:
     """Batched-chain ChEES-HMC.  ``initial_positions`` carries the chain
     axis; all per-transition math is vmapped over it and every reduction
@@ -224,29 +225,43 @@ def run_chees(
     # mass switches to the cross-chain variance snapshot; the second half
     # re-adapts eps/T under that mass while a batched Welford accumulates
     # (chains x iterations) positions, whose variance becomes the final mass
-    def warm_step(c, _):
-        return transition(c, adapt=True)
+    from gaplac_tpu.inference.progress import progress_emitter
+
+    warm_progress = progress_emitter("warmup", num_warmup, progress)
+    samp_progress = progress_emitter("sampling", num_samples, progress)
+
+    def warm_step(c, i):
+        new, out = transition(c, adapt=True)
+        warm_progress(i)
+        return new, out
 
     h1 = num_warmup // 2
-    carry, _ = jax.lax.scan(warm_step, carry, None, length=h1)
+    carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1))
     var = jnp.var(carry.q, axis=0) + 1e-3
     carry = carry._replace(inv_mass=var, wf=welford_init(dim, dtype))
-    carry, _ = jax.lax.scan(warm_step, carry, None, length=num_warmup - h1)
+    carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1, num_warmup))
 
     inv_mass_final = welford_variance(carry.wf)
-    eps_final = jnp.exp(carry.da.log_eps_avg)
+    eps_guess = jnp.exp(carry.da.log_eps_avg)
     # rescale eps for the mass change: the whitened step per dim is
     # eps*sqrt(inv_mass), so keeping it invariant needs
-    # eps_new = eps_old * sqrt(old/new) (geometric mean across dims)
+    # eps_new = eps_old * sqrt(old/new) (geometric mean across dims).
+    # (An explicit post-switch eps-refinement phase was tried and measured
+    # SLOWER end-to-end on TPU: the sampling-phase accept sits above target
+    # because the accept distribution near the leapfrog stability threshold
+    # is bimodal — pushing eps up triggers divergences, so DA's equilibrium
+    # is stability-limited, and the refinement only adds warmup cost.)
     ratio = jnp.exp(0.5 * jnp.mean(jnp.log(carry.inv_mass / inv_mass_final)))
-    eps_final = eps_final * ratio
+    eps_final = eps_guess * ratio
     carry = carry._replace(da=da_init(eps_final), inv_mass=inv_mass_final)
 
-    def samp_step(c, _):
-        return transition(c, adapt=False)
+    def samp_step(c, i):
+        new, out = transition(c, adapt=False)
+        samp_progress(i)
+        return new, out
 
     carry, (qs, logps, alphas) = jax.lax.scan(
-        samp_step, carry, None, length=num_samples
+        samp_step, carry, jnp.arange(num_samples)
     )
     # (num_samples, chains, dim) -> (chains, num_samples, dim)
     return CheesResult(

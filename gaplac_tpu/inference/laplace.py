@@ -123,10 +123,13 @@ def build_laplace_marginal(
     loglik_fn = make_loglik(likelihood)
     y = jnp.asarray(y, dtype)
     aux_arr = None if aux is None else jnp.asarray(aux, dtype)
+    # hot path: θ-independent gram structure + jitter·I precomputed once
+    dynamic = tuple(sorted({s for g in slot_groups for s in g}))
+    gram_bound = ck.bind(X, dynamic, diag=jitter)
 
     def _fit(u):
         theta = tr.forward(u)
-        K = ck.gram(params_from(theta), X) + jitter * eye
+        K = gram_bound(params_from(theta))
         return theta, K, laplace_approx(K, y, loglik_fn, aux_arr, num_iters)
 
     def logdensity(u: jnp.ndarray) -> jnp.ndarray:

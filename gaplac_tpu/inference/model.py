@@ -116,11 +116,14 @@ def build_gaussian_marginal(
     dtype = X.dtype
     params_from = _params_from(ck, slot_groups, dtype)
     eye = jnp.eye(n, dtype=dtype)
+    # hot path: all θ-independent gram structure (pairwise distances, static
+    # product terms, + (jitter+σ²)·I) is precomputed ONCE at build time
+    dynamic = tuple(sorted({s for g in slot_groups for s in g}))
+    gram_bound = ck.bind(X, dynamic, diag=jitter + obs_sigma2)
 
     def logdensity(u: jnp.ndarray) -> jnp.ndarray:
         theta = tr.forward(u)
-        K = ck.gram(params_from(theta), X)
-        S = K + (jitter + obs_sigma2) * eye
+        S = gram_bound(params_from(theta))
         return mvn.mvn_logpdf(S, y) + jnp.sum(tr.uniform_logprior(u))
 
     def report(key: jax.Array, u: jnp.ndarray):
@@ -168,14 +171,16 @@ def build_latent_whitened(
     n = y.shape[0]
     dtype = X.dtype
     params_from = _params_from(ck, slot_groups, dtype)
-    eye = jnp.eye(n, dtype=dtype)
     loglik = make_loglik(likelihood)
     y = jnp.asarray(y, dtype)
     aux_arr = None if aux is None else jnp.asarray(aux, dtype)
+    # hot path: θ-independent gram structure + jitter·I precomputed once
+    dynamic = tuple(sorted({s for g in slot_groups for s in g}))
+    gram_bound = ck.bind(X, dynamic, diag=jitter)
 
     def _latent_chol(u):
         theta = tr.forward(u)
-        K = ck.gram(params_from(theta), X) + jitter * eye
+        K = gram_bound(params_from(theta))
         return theta, linalg.cholesky(K)
 
     def logdensity(v: jnp.ndarray) -> jnp.ndarray:

@@ -272,9 +272,14 @@ def run_nuts(
     target_accept: float = 0.65,  # ref default, mcmc.jl:41
     initial_step_size: Optional[float] = None,
     initial_inv_mass: Optional[jnp.ndarray] = None,
+    progress: bool = False,
 ) -> NUTSResult:
     """Single-chain adaptive NUTS.  vmap over keys/positions for chains;
-    shard the chain axis over a mesh for multi-host (SURVEY.md §2.4)."""
+    shard the chain axis over a mesh for multi-host (SURVEY.md §2.4).
+
+    ``progress=True`` emits host-callback progress lines from inside the
+    compiled scans (the reference's Turing ``progress=true`` equivalent,
+    mcmc.jl:41); leave off under vmap or through a remote device tunnel."""
     vag = jax.value_and_grad(logdensity)
     kernel = make_nuts_kernel(logdensity, max_depth=max_depth)
     dim = initial_position.shape[0]
@@ -302,8 +307,13 @@ def run_nuts(
         wf: WelfordState
         inv_mass: jnp.ndarray
 
+    from gaplac_tpu.inference.progress import progress_emitter
+
+    warm_progress = progress_emitter("warmup", num_warmup, progress)
+    samp_progress = progress_emitter("sampling", num_samples, progress)
+
     def warm_step(c: WarmCarry, xs):
-        in_slow, window_end = xs
+        i, in_slow, window_end = xs
         key, k_step = jax.random.split(c.key)
         eps = jnp.exp(c.da.log_eps)
         lf, info = kernel(k_step, c.lf, eps, c.inv_mass)
@@ -314,11 +324,16 @@ def run_nuts(
         inv_mass = jnp.where(window_end, new_inv_mass, c.inv_mass)
         da = _tree_where(window_end, da_init(jnp.exp(da.log_eps)), da)
         wf = _tree_where(window_end, welford_init(dim, dtype), wf)
+        warm_progress(i)
         return WarmCarry(key, lf, da, wf, inv_mass), None
 
     warm0 = WarmCarry(key, lf0, da_init(eps0), welford_init(dim, dtype), inv_mass0)
     if num_warmup > 0:
-        xs = (jnp.asarray(sched.in_slow_window), jnp.asarray(sched.window_end))
+        xs = (
+            jnp.arange(num_warmup),
+            jnp.asarray(sched.in_slow_window),
+            jnp.asarray(sched.window_end),
+        )
         warm, _ = jax.lax.scan(warm_step, warm0, xs)
     else:
         warm = warm0
@@ -329,14 +344,15 @@ def run_nuts(
         key: jax.Array
         lf: LeapfrogState
 
-    def samp_step(c: SampCarry, _):
+    def samp_step(c: SampCarry, i):
         key, k_step = jax.random.split(c.key)
         lf, info = kernel(k_step, c.lf, eps_final, inv_mass)
         out = (lf.q, lf.logp, info.accept_prob, info.depth, info.diverging)
+        samp_progress(i)
         return SampCarry(key, lf), out
 
     (_, _), outs = jax.lax.scan(
-        samp_step, SampCarry(warm.key, warm.lf), None, length=num_samples
+        samp_step, SampCarry(warm.key, warm.lf), jnp.arange(num_samples)
     )
     qs, logps, accs, depths, divs = outs
     return NUTSResult(qs, logps, accs, depths, divs, eps_final, inv_mass)

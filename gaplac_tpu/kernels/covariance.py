@@ -247,6 +247,87 @@ class CompiledKernel:
             K = K + block
         return K
 
+    def bind(
+        self,
+        X: jnp.ndarray,
+        dynamic_slots: Sequence[int] = (),
+        diag: float = 0.0,
+    ):
+        """Precompute every θ-independent piece of the symmetric gram at
+        fixed inputs ``X``; returns ``gram_bound(params) -> K``.
+
+        The samplers evaluate gram(θ, X) once per leapfrog step with X fixed
+        for the whole run, so all pairwise structure is hoisted to bind time:
+        fully static product terms (e.g. ``Cat*Cat``) collapse into a single
+        cached matrix, and each dynamic leaf caches its θ-independent factor
+        (squared distances for SqExp, |d| for OU, the outer product for
+        Linear, the match indicator for Noise).  ``diag`` is folded into the
+        static base (the per-eval ``+ jitter*I``).  Per evaluation only the
+        scalar hyperparameter transforms remain — on a dispatch-bound backend
+        this is the difference between ~6 and ~2 ops per leaf.
+
+        ``dynamic_slots`` are the leaf indices whose hyperparameter may
+        change between calls (the union of the model's slot groups); every
+        other leaf is baked at its default value, matching what
+        ``gram(params_from(θ), X)`` computes when only those slots of the
+        param vector are updated.
+        """
+        dyn = frozenset(int(s) for s in dynamic_slots)
+        n = X.shape[0]
+        dtype = X.dtype
+        K0 = diag * jnp.eye(n, dtype=dtype) if diag else None
+        dyn_terms = []  # (static_block | None, [(kind, cache, leaf_index)])
+        for term in self.terms:
+            static_block = None
+            dyn_leaves = []
+            for li in term:
+                x = self._leaf_axis(X, self.cols[li])
+                kind = self.kinds[li]
+                if li in dyn and kind != K_CAT:  # Cat has no hyperparameter
+                    if kind == K_SQEXP:
+                        d = x[:, None] - x[None, :]
+                        cache = d * d
+                    elif kind == K_OU:
+                        cache = jnp.abs(x[:, None] - x[None, :])
+                    elif kind == K_LINEAR:
+                        cache = x[:, None] * x[None, :]
+                    elif kind == K_NOISE:
+                        cache = (x[:, None] == x[None, :]).astype(dtype)
+                    else:  # K_CONST
+                        cache = None
+                    dyn_leaves.append((kind, cache, li))
+                else:
+                    b = _leaf_cross(kind, x, x, jnp.asarray(self.defaults[li], dtype))
+                    static_block = b if static_block is None else static_block * b
+            if not dyn_leaves:
+                K0 = static_block if K0 is None else K0 + static_block
+            else:
+                dyn_terms.append((static_block, tuple(dyn_leaves)))
+        if K0 is None:
+            K0 = jnp.zeros((n, n), dtype)
+
+        def gram_bound(params: jnp.ndarray) -> jnp.ndarray:
+            K = K0
+            for static_block, dls in dyn_terms:
+                block = static_block
+                for kind, cache, li in dls:
+                    p = params[li]
+                    if kind == K_SQEXP:
+                        b = jnp.exp(cache * (-0.5 / (p * p)))
+                    elif kind == K_OU:
+                        b = jnp.exp(cache * (-1.0 / p))
+                    elif kind == K_LINEAR:
+                        b = cache + p
+                    elif kind == K_NOISE:
+                        b = cache * p
+                    else:  # K_CONST
+                        b = jnp.broadcast_to(p.astype(dtype), (n, n))
+                    block = b if block is None else block * b
+                K = K + block
+            return K
+
+        return gram_bound
+
     def gram_diag(self, params: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
         """diag(gram(params, X)) without forming the matrix."""
         d = jnp.zeros((X.shape[0],), X.dtype)

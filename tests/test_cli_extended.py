@@ -244,3 +244,27 @@ def test_predict_pervar_chain(tmp_path):
     ])
     assert rc == 0
     assert np.isfinite(pd.read_csv(out, sep="\t")["ymu"]).all()
+
+
+def test_mcmc_progress_flag(tmp_path, capfd):
+    """--progress emits in-scan host-callback ticks (ref: Turing
+    progress=true, mcmc.jl:41)."""
+    import pandas as pd
+    import numpy as np
+
+    from gaplac_tpu.cli.main import main
+
+    d = tmp_path / "d.tsv"
+    rng = np.random.default_rng(0)
+    pd.DataFrame({"x": rng.uniform(-3, 3, 20), "y": rng.normal(size=20)}).to_csv(
+        d, sep="\t", index=False
+    )
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", str(d),
+        "--infer", "x", "--samples", "10", "--warmup", "10", "--progress",
+        "--output", str(tmp_path / "c.tsv"),
+    ])
+    assert rc == 0
+    err = capfd.readouterr().err
+    assert "[warmup] 10/10" in err
+    assert "[sampling] 10/10" in err

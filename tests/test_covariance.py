@@ -116,3 +116,58 @@ def test_gram_cross_shape_and_consistency():
     assert K12.shape == (5, 3)
     Kfull = np.asarray(ck.gram(p, jnp.asarray(np.vstack([X1, X2]))))
     np.testing.assert_allclose(K12, Kfull[:5, 5:], rtol=1e-12)
+
+
+def test_bind_matches_gram():
+    """bind(X, dynamic) must equal gram(params, X) (+ diag·I) for any params
+    that differ from defaults only at the dynamic slots."""
+    import numpy as np
+
+    from gaplac_tpu.dsl.parser import parse_formula
+
+    spec = parse_formula(
+        "y :~| Cat(:p) * Cat(:s) + Cat(:p) + Linear(:x) + SqExp(:t; l=2) + OU(:t) + Noise"
+    )
+    ck = compile_formula(spec.formula)
+    rng = np.random.default_rng(0)
+    n = 17
+    X = jnp.asarray(
+        np.column_stack([
+            rng.integers(0, 3, n),   # p
+            rng.integers(0, 2, n),   # s
+            rng.integers(0, 3, n),   # p (repeated)
+            rng.uniform(-2, 2, n),   # x
+            rng.uniform(0, 5, n),    # t
+            rng.uniform(0, 5, n),    # t (repeated)
+        ]).astype(float)
+    )
+    # every non-Cat leaf dynamic
+    from gaplac_tpu.kernels.covariance import K_CAT
+
+    dynamic = tuple(i for i, k in enumerate(ck.kinds) if k != K_CAT)
+    params = ck.default_params(X.dtype)
+    params = params.at[jnp.asarray(dynamic)].set(
+        jnp.asarray(rng.uniform(0.5, 3.0, len(dynamic)), X.dtype)
+    )
+    bound = ck.bind(X, dynamic, diag=0.37)
+    K_ref = ck.gram(params, X) + 0.37 * jnp.eye(n, dtype=X.dtype)
+    np.testing.assert_allclose(np.asarray(bound(params)), np.asarray(K_ref), rtol=1e-12)
+
+
+def test_bind_static_subset():
+    """Leaves NOT in dynamic_slots are baked at their defaults."""
+    import numpy as np
+
+    from gaplac_tpu.dsl.parser import parse_formula
+
+    spec = parse_formula("y :~| SqExp(:t; l=1.5) + Linear(:x; c=0.5)")
+    ck = compile_formula(spec.formula)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.uniform(-1, 1, (9, 2)))
+    # only the SqExp lengthscale is dynamic; Linear stays at c=0.5
+    dynamic = (0,)
+    params = ck.default_params(X.dtype).at[0].set(3.3)
+    bound = ck.bind(X, dynamic)
+    np.testing.assert_allclose(
+        np.asarray(bound(params)), np.asarray(ck.gram(params, X)), rtol=1e-12
+    )
