@@ -97,3 +97,59 @@ def test_pallas_gram_nondivisible_padding(composite_ck):
     Kp = pallas_gram(ck, p, X, interpret=True, tile=256)
     Kr = ck.gram(p, X)
     np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kr), atol=1e-5)
+
+
+def test_cholesky_small_batched_matches_native():
+    """cholesky_small_batched: forward + custom VJP equal jnp.linalg.cholesky
+    (general cotangents and θ-gradients through a symmetric gram)."""
+    import numpy as np
+
+    from gaplac_tpu.ops import cholesky as C
+
+    rng = np.random.default_rng(0)
+    B, n = 3, 37
+    X = rng.normal(size=(B, n, n))
+    A = jnp.asarray(X @ np.swapaxes(X, -1, -2) + n * np.eye(n))
+
+    np.testing.assert_allclose(
+        np.asarray(C.cholesky_small_batched(A)),
+        np.asarray(jnp.linalg.cholesky(A)), rtol=1e-12, atol=1e-12,
+    )
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(jnp.linalg.cholesky(a))))(A)
+    g2 = jax.grad(lambda a: jnp.sum(jnp.sin(C.cholesky_small_batched(a))))(A)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9, atol=1e-12)
+
+    # θ-gradient through a symmetric gram construction (the sampler path)
+    x = rng.uniform(-5, 5, 50)
+    D2 = jnp.asarray((x[:, None] - x[None, :]) ** 2)[None].repeat(B, 0)
+    z = jnp.asarray(rng.normal(size=(B, 50)))
+
+    def h(fn):
+        def f(ls):
+            K = jnp.exp(D2 * (-0.5 / (ls[:, None, None] ** 2))) + 1.1 * jnp.eye(50)
+            return jnp.sum(jnp.einsum("bij,bj->bi", fn(K), z) ** 2)
+        return f
+
+    ls = jnp.asarray(rng.uniform(1, 2, B))
+    gn = jax.grad(h(jnp.linalg.cholesky))(ls)
+    gc = jax.grad(h(C.cholesky_small_batched))(ls)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gc), rtol=1e-10)
+
+
+def test_chol_batched_pallas_kernel_interpret():
+    """The single-kernel batched Pallas factorization (interpret mode) equals
+    the native factor on the unpadded block."""
+    import numpy as np
+
+    from gaplac_tpu.ops import cholesky as C
+
+    rng = np.random.default_rng(1)
+    B, n, pn = 2, 37, 128
+    X = rng.normal(size=(B, n, n)).astype(np.float32)
+    A = jnp.asarray(X @ np.swapaxes(X, -1, -2) + n * np.eye(n, dtype=np.float32))
+    P = jnp.zeros((B, pn, pn), jnp.float32).at[:, :n, :n].set(A)
+    P = P.at[:, jnp.arange(n, pn), jnp.arange(n, pn)].set(1.0)
+    Lk = C._chol_batched_pallas(P, interpret=True)[:, :n, :n]
+    np.testing.assert_allclose(
+        np.asarray(Lk), np.asarray(jnp.linalg.cholesky(A)), rtol=1e-4, atol=1e-4
+    )
