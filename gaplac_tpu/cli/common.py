@@ -83,6 +83,25 @@ def resolve_hyper_columns(df: pd.DataFrame, n_hyper: int, path: str) -> list:
     return names
 
 
+def default_slot_groups(ck: CompiledKernel):
+    """Hyperparameter slot groups assumed when a chain-consuming command
+    (predict/sample --mcmc) is run without --infer: ONE shared scalar over
+    every lengthscale-kind leaf (SqExp/OU), the reference mcmc's common case.
+    Shared by predict and sample so both reconstruct the SAME model from the
+    same chain."""
+    from gaplac_tpu.kernels.covariance import K_OU, K_SQEXP
+
+    shared = tuple(
+        i for i, k in enumerate(ck.kinds)
+        if ck.leaf_vars[i] and k in (K_SQEXP, K_OU)
+    )
+    if not shared:
+        raise ValueError(
+            "--mcmc needs --infer to know which hyperparameters the chain sampled"
+        )
+    return (shared,)
+
+
 def apply_outlier_policy(df: pd.DataFrame, args, response: str) -> pd.DataFrame:
     """Legacy --rmv-outliers handling (bin/old_options.jl:32-41)."""
     method = getattr(args, "rmv_outliers", "none")

@@ -112,17 +112,9 @@ def run(args) -> None:
         if args.infer:
             slot_groups = slot_groups_for(ck, args.infer, shared=shared)
         else:
-            # reference --infer semantics: one shared scalar; without --infer
-            # we default to every lengthscale-kind leaf (SqExp/OU)
-            shared_slots = tuple(
-                i for i, k in enumerate(ck.kinds) if ck.leaf_vars[i] and k in (0, 1)
-            )
-            if not shared_slots:
-                raise ValueError(
-                    "predict --mcmc needs --infer to know which hyperparameters "
-                    "the chain sampled"
-                )
-            slot_groups = (shared_slots,)
+            from gaplac_tpu.cli.common import default_slot_groups
+
+            slot_groups = default_slot_groups(ck)
         thetas = _hyper_draws(args.mcmc, n_hyper=len(slot_groups))
     else:
         thetas = np.zeros((1, 0))

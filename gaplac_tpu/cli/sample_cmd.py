@@ -39,7 +39,9 @@ def run(args) -> None:
     log.debug("Model variables: %s", ck.varnames)
 
     if getattr(args, "atdata", None):
-        df = load_tables(args.atdata).reset_index(drop=True)
+        from gaplac_tpu.data import complete_cases
+
+        df = complete_cases(load_tables(args.atdata))
     elif args.at:
         df = build_at_frame(args.at, formula=spec.formula, seed=args.seed)
     else:
@@ -82,14 +84,15 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
     X, Xt = jnp.asarray(X_np, dtype), jnp.asarray(Xt_np, dtype)
 
     if getattr(args, "mcmc", None):
+        from gaplac_tpu.cli.common import default_slot_groups
         from gaplac_tpu.cli.predict_cmd import _hyper_draws
         from gaplac_tpu.inference.model import slot_groups_for
 
         shared = getattr(args, "infer_mode", "shared") == "shared"
-        infer = args.infer or sorted(
-            {v for i, v in enumerate(ck.leaf_vars) if v and ck.kinds[i] in (0, 1)}
-        )
-        slot_groups = slot_groups_for(ck, infer, shared=shared)
+        if args.infer:
+            slot_groups = slot_groups_for(ck, args.infer, shared=shared)
+        else:
+            slot_groups = default_slot_groups(ck)
         draws = _hyper_draws(args.mcmc, n_hyper=len(slot_groups))
         row = int(jax.random.randint(key, (), 0, len(draws)))
         theta = draws[row]

@@ -51,7 +51,9 @@ def _transpose_table(df: pd.DataFrame) -> pd.DataFrame:
     """'#' flag: transpose a wide table.  The first column becomes the header
     (its values name the new columns); the original header row becomes a new
     first column, named after the original first-column header.  Numeric
-    columns are re-coerced after the transpose."""
+    columns are re-coerced after the transpose — the same inference pandas
+    applies when reading an untransposed table, so join keys keep IDENTICAL
+    typing on both sides of a merge."""
     first = str(df.columns[0])
     out = df.set_index(df.columns[0]).T.reset_index(names=first)
     out.columns = [str(c) for c in out.columns]
@@ -98,9 +100,10 @@ def _load_one_source(part: str) -> tuple:
             "\t" if header.count("\t") >= header.count(",") and "\t" in header else ","
         )
         df = pd.read_csv(io.StringIO(text), sep=sep)
+    elif sep_flag is not None:
+        df = pd.read_csv(os.path.expanduser(part), sep=sep_flag)
     else:
-        path = os.path.expanduser(part)
-        df = pd.read_csv(path, sep=sep_flag or _sniff_sep(path))
+        df = read_table(part)  # sniffed delimiter + fastio numeric fast path
     if transpose:
         df = _transpose_table(df)
     return (key or None, df)
@@ -124,10 +127,19 @@ def load_tables(arg: str) -> pd.DataFrame:
         if result is None:
             result, base_key = df, key
             continue
-        if base_key and key:
-            merged = result.merge(df, left_on=base_key, right_on=key, how="inner")
-        elif base_key or key:
-            merged = result.merge(df, on=(base_key or key), how="inner")
+        if base_key or key:
+            # a one-sided key joins against the same-named column on the
+            # other side; validate presence for a clean error (not KeyError)
+            lk, rk = base_key or key, key or base_key
+            if lk not in result.columns or rk not in df.columns:
+                missing = lk if lk not in result.columns else rk
+                raise ValueError(
+                    f"Cannot join {part!r}: join column {missing!r} not found "
+                    f"(left columns: {list(result.columns)[:8]}..., "
+                    f"right columns: {list(df.columns)[:8]}...)"
+                )
+            left, right = _align_key_dtypes(result, lk, df, rk)
+            merged = left.merge(right, left_on=lk, right_on=rk, how="inner")
         else:
             common = [c for c in result.columns if c in df.columns]
             if not common:
@@ -139,6 +151,27 @@ def load_tables(arg: str) -> pd.DataFrame:
                  len(result), len(df))
         result = merged
     return result
+
+
+def _align_key_dtypes(left: pd.DataFrame, lk: str, right: pd.DataFrame, rk: str):
+    """Merge keys must agree in dtype (pandas raises on object-vs-float).
+    Numeric-vs-numeric mismatches (int64 vs float64) compare as float;
+    anything else compares as strings."""
+    a, b = left[lk], right[rk]
+    if a.dtype == b.dtype:
+        return left, right
+    if pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b):
+        cast = lambda s: s.astype("float64")
+    else:
+        # text comparison; integral floats render without the ".0" so a
+        # numeric side ('1.0' from the fast reader) matches text '1'
+        def cast(s):
+            if pd.api.types.is_numeric_dtype(s):
+                return s.map(
+                    lambda v: str(int(v)) if float(v).is_integer() else str(v)
+                )
+            return s.astype(str)
+    return left.assign(**{lk: cast(a)}), right.assign(**{rk: cast(b)})
 
 
 def complete_cases(df: pd.DataFrame) -> pd.DataFrame:

@@ -171,6 +171,70 @@ class Constant(Leaf):
         return (self.varname,) if self.varname else ()
 
 
+@dataclass(frozen=True)
+class Matern32(Leaf):
+    """Matern-3/2 kernel, k = (1 + sqrt(3) d/l) exp(-sqrt(3) d/l).
+
+    Capability extension: the reference's eval-based DSL could reach any
+    KernelFunctions kernel (Matern32Kernel among them); a complete
+    replacement offers the standard GP kernel set natively."""
+
+    l: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "hyperparam_name", "l")
+
+    def hyperparam_default(self) -> float:
+        return float(self.l)
+
+
+@dataclass(frozen=True)
+class Matern52(Leaf):
+    """Matern-5/2 kernel, k = (1 + sqrt(5) d/l + 5 d^2/(3 l^2)) exp(-sqrt(5) d/l)."""
+
+    l: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "hyperparam_name", "l")
+
+    def hyperparam_default(self) -> float:
+        return float(self.l)
+
+
+@dataclass(frozen=True)
+class Periodic(Leaf):
+    """Exp-sine-squared periodic kernel, k = exp(-2 sin^2(pi d / p) / l^2).
+
+    ``l`` is the inferable hyperparameter; the period ``p`` is a static
+    shape parameter baked into the compiled kernel."""
+
+    l: float = 1.0
+    p: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "hyperparam_name", "l")
+
+    def hyperparam_default(self) -> float:
+        return float(self.l)
+
+
+@dataclass(frozen=True)
+class RQ(Leaf):
+    """Rational-quadratic kernel, k = (1 + d^2 / (2 alpha l^2))^(-alpha).
+
+    ``l`` is the inferable hyperparameter; ``alpha`` (scale-mixture shape)
+    is static."""
+
+    l: float = 1.0
+    alpha: float = 2.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "hyperparam_name", "l")
+
+    def hyperparam_default(self) -> float:
+        return float(self.l)
+
+
 ASTNode = Union[GPOperation, Leaf]
 
 

@@ -181,20 +181,31 @@ def build_at_frame(
                     entries.append((var, None, None))
                     specified.add(var)
 
-    # Cartesian base grid over ungrouped variables, in assignment order
+    values_of = {var: (group, text) for var, group, text in entries}
+    grouped = [(var, g, t) for var, g, t in entries if g is not None]
+
+    # Cartesian base-grid axis order follows the FORMULA's variable order
+    # (first variable fastest — the reference builds the grid from
+    # varnames(formula), sample.jl:23 + utils.jl:1-6, so output rows match
+    # row-for-row); --at-only variables append in assignment order.
+    ordered = []
+    if formula is not None:
+        for leaf in leaves(formula):
+            for var in leaf.varnames():
+                if var in values_of and var not in ordered:
+                    ordered.append(var)
+    for var, group, _ in entries:
+        if var not in ordered:
+            ordered.append(var)
+
     base_vars, base_vals = [], []
-    grouped = []
-    for var, group, text in entries:
-        if group is None:
-            vals = (
-                _parse_value(text, rng)
-                if text is not None
-                else _default_for(formula, var)
-            )
-            base_vars.append(var)
-            base_vals.append(vals)
-        else:
-            grouped.append((var, group, text))
+    for var in ordered:
+        group, text = values_of[var]
+        if group is not None:
+            continue  # grouped vars expand after the base grid
+        vals = _parse_value(text, rng) if text is not None else _default_for(formula, var)
+        base_vars.append(var)
+        base_vals.append(vals)
     from gaplac_tpu.data.grid import make_test_grid
 
     grid = make_test_grid(*base_vals)
@@ -205,15 +216,15 @@ def build_at_frame(
             raise RangeError(
                 f"Grouping variable {group!r} for {var!r} is not defined before it"
             )
-        pieces = []
+        # one value list per distinct group level (fresh rand draws per
+        # level); expand each row in place, var varying fastest
         levels = list(dict.fromkeys(df[group].tolist()))  # first-appearance order
-        per_level = {g: _parse_value(text, rng) for g in levels}
-        for _, row in df.iterrows():
-            vals = per_level[row[group]]
-            block = pd.DataFrame([row] * len(vals)).reset_index(drop=True)
-            block[var] = np.asarray(vals, dtype=float)
-            pieces.append(block)
-        df = pd.concat(pieces, ignore_index=True)
+        per_level = {g: np.asarray(_parse_value(text, rng), dtype=float)
+                     for g in levels}
+        counts = df[group].map({g: len(v) for g, v in per_level.items()}).to_numpy()
+        out = df.loc[df.index.repeat(counts)].reset_index(drop=True)
+        out[var] = np.concatenate([per_level[g] for g in df[group]]) if len(df) else []
+        df = out
     return df
 
 

@@ -212,3 +212,71 @@ def test_sample_atdata(train_file, tmp_path):
     assert rc == 0
     df = pd.read_csv(out, sep="\t")
     assert "z" in df.columns and len(df) == 30
+
+
+# ---------------------------------------------------------------------------
+# review-finding regressions
+# ---------------------------------------------------------------------------
+
+
+def test_load_tables_one_sided_key(tmp_path):
+    """A key declared on only one source joins against the same-named column
+    on the other side; a missing column is a clean ValueError, not KeyError."""
+    p1, p2 = tmp_path / "a.tsv", tmp_path / "b.tsv"
+    pd.DataFrame({"id": ["a", "b"], "x": [1.0, 2.0]}).to_csv(p1, sep="\t", index=False)
+    pd.DataFrame({"id": ["b", "c"], "w": [5.0, 6.0]}).to_csv(p2, sep="\t", index=False)
+    df = load_tables(f"{p1};id:{p2}")
+    assert len(df) == 1 and df["w"].iloc[0] == 5.0
+    pd.DataFrame({"other": ["b"], "w": [5.0]}).to_csv(p2, sep="\t", index=False)
+    with pytest.raises(ValueError, match="join column"):
+        load_tables(f"{p1};id:{p2}")
+
+
+def test_load_tables_zero_padded_key_join(tmp_path):
+    """Transpose's numeric coercion matches the untransposed side's pandas
+    inference, so zero-padded keys join consistently ('007' -> 7 on BOTH
+    sides); int-vs-float key dtype mismatches are aligned before merging."""
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"sid": ["007", "012"], "x": [1.0, 2.0]}).to_csv(
+        data, sep="\t", index=False
+    )
+    wide = tmp_path / "w.tsv"
+    pd.DataFrame(
+        {"attr": ["sid", "weight"], "s1": ["007", "70"], "s2": ["012", "80"]}
+    ).to_csv(wide, sep="\t", index=False)
+    df = load_tables(f"sid:{data};#sid:{wide}")
+    assert len(df) == 2
+    np.testing.assert_allclose(sorted(df["weight"]), [70.0, 80.0])
+
+
+def test_load_tables_mixed_text_key_join(tmp_path):
+    """A key that is text on one side and numeric on the other still joins
+    (string comparison fallback) rather than raising pandas' dtype error."""
+    p1, p2 = tmp_path / "a.tsv", tmp_path / "b.tsv"
+    pd.DataFrame({"k": ["1", "x2"], "u": [1.0, 2.0]}).to_csv(p1, sep="\t", index=False)
+    pd.DataFrame({"k": [1, 3], "v": [5.0, 6.0]}).to_csv(p2, sep="\t", index=False)
+    df = load_tables(f"k:{p1};k:{p2}")
+    assert len(df) == 1 and df["v"].iloc[0] == 5.0
+
+
+def test_build_at_frame_formula_order(tmp_path):
+    """Base-grid axis order follows the FORMULA variable order (first var
+    fastest), not the --at assignment order (ref: sample.jl:23)."""
+    spec = parse_formula("y :~| SqExp(:x) * Cat(:g)")
+    df = build_at_frame("g=[1,2]; x=0:1:3", formula=spec.formula)
+    assert list(df.columns) == ["x", "g"]
+    np.testing.assert_array_equal(df["x"][:4], [0, 1, 2, 3])  # x fastest
+    np.testing.assert_array_equal(df["g"][:4], [1, 1, 1, 1])
+
+
+def test_sample_atdata_drops_incomplete_rows(tmp_path):
+    at = tmp_path / "pts.tsv"
+    at.write_text("x\n0.0\n\n1.0\n")  # middle row missing
+    out = tmp_path / "o.tsv"
+    rc = main([
+        "--platform", "cpu", "sample", "z :~| SqExp(:x)",
+        "--atdata", str(at), "--seed", "0", "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) == 2 and np.isfinite(df["z"]).all()
