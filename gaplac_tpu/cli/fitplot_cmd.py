@@ -35,13 +35,15 @@ log = logging.getLogger("gaplac")
 def term_gram(ck: CompiledKernel, term_idx: int, params, X1, X2=None):
     """Gram of a single additive term (product of its leaves)."""
     sub = CompiledKernel(
-        ck.varnames, ck.kinds, ck.cols, (ck.terms[term_idx],), ck.defaults, ck.leaf_vars
+        ck.varnames, ck.kinds, ck.cols, (ck.terms[term_idx],), ck.defaults,
+        ck.leaf_vars, ck.extras
     )
     return sub.gram(params, X1, X2)
 
 
 def term_label(ck: CompiledKernel, term_idx: int) -> str:
-    kind_names = {0: "SqExp", 1: "OU", 2: "Linear", 3: "Cat", 4: "Noise", 5: "Constant"}
+    kind_names = {0: "SqExp", 1: "OU", 2: "Linear", 3: "Cat", 4: "Noise",
+                  5: "Constant", 6: "Matern32", 7: "Matern52", 8: "Periodic", 9: "RQ"}
     parts = []
     for li in ck.terms[term_idx]:
         v = ck.leaf_vars[li]

@@ -34,8 +34,12 @@ from gaplac_tpu.dsl.ast import (
     GPOperation,
     Leaf,
     Linear,
+    Matern32,
+    Matern52,
     Noise,
     OU,
+    Periodic,
+    RQ,
     SqExp,
 )
 
@@ -179,7 +183,12 @@ class _Parser:
 # Kernel-expression parsing
 # ---------------------------------------------------------------------------
 
-_KERNEL_NAMES = {"sqexp", "ou", "linear", "cat", "noise", "constant", "const"}
+_KERNEL_NAMES = {
+    "sqexp", "ou", "linear", "cat", "noise", "constant", "const",
+    # extended GP kernel set (the reference's eval-DSL could reach any
+    # KernelFunctions kernel; we provide the standard ones natively)
+    "matern32", "matern52", "periodic", "rq", "rationalquadratic",
+}
 
 
 def _parse_var(p: _Parser) -> str:
@@ -266,6 +275,27 @@ def _make_leaf(name: str, varname: Optional[str], kwargs: dict, pos: List[float]
             raise FormulaError("Cat requires a variable, e.g. Cat(:subject)")
         _no_extra(name, kwargs)
         return Cat(varname)
+    if lname in ("matern32", "matern52"):
+        if varname is None:
+            raise FormulaError(f"{name} requires a variable, e.g. {name}(:x)")
+        l = kwargs.pop("l", pos[0] if pos else 1.0)
+        _no_extra(name, kwargs)
+        cls = Matern32 if lname == "matern32" else Matern52
+        return cls(varname, l=float(l))
+    if lname == "periodic":
+        if varname is None:
+            raise FormulaError("Periodic requires a variable, e.g. Periodic(:t; l=1, p=1)")
+        l = kwargs.pop("l", pos[0] if pos else 1.0)
+        p_ = kwargs.pop("p", kwargs.pop("period", pos[1] if len(pos) > 1 else 1.0))
+        _no_extra(name, kwargs)
+        return Periodic(varname, l=float(l), p=float(p_))
+    if lname in ("rq", "rationalquadratic"):
+        if varname is None:
+            raise FormulaError("RQ requires a variable, e.g. RQ(:x; l=1, alpha=2)")
+        l = kwargs.pop("l", pos[0] if pos else 1.0)
+        alpha = kwargs.pop("alpha", kwargs.pop("a", pos[1] if len(pos) > 1 else 2.0))
+        _no_extra(name, kwargs)
+        return RQ(varname, l=float(l), alpha=float(alpha))
     if lname == "noise":
         s2 = kwargs.pop("s2", kwargs.pop("s", pos[0] if pos else 1.0))
         _no_extra(name, kwargs)
@@ -306,7 +336,8 @@ def _parse_factor(p: _Parser) -> GPComponent:
     if t.kind != "name" or t.text.lower() not in _KERNEL_NAMES:
         raise FormulaError(
             f"Unknown kernel {t.text!r} at {t.pos} "
-            f"(available: SqExp, OU, Linear, Cat, Noise, Constant)"
+            f"(available: SqExp, OU, Linear, Cat, Noise, Constant, "
+            f"Matern32, Matern52, Periodic, RQ)"
         )
     name = p.next().text
     nxt = p.peek()

@@ -30,7 +30,10 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from gaplac_tpu.dsl.ast import Cat, Constant, GPComponent, Leaf, Linear, Noise, OU, SqExp, leaves
+from gaplac_tpu.dsl.ast import (
+    Cat, Constant, GPComponent, Leaf, Linear, Matern32, Matern52, Noise, OU,
+    Periodic, RQ, SqExp, leaves,
+)
 
 
 class RangeError(ValueError):
@@ -98,7 +101,7 @@ def _parse_value(text: str, rng: np.random.Generator) -> np.ndarray:
 
 def default_range(leaf: Leaf) -> np.ndarray:
     """Per-kernel default evaluation range (ref: abstractgp_translations.jl:3-6)."""
-    if isinstance(leaf, (SqExp, OU)):
+    if isinstance(leaf, (SqExp, OU, Matern32, Matern52, Periodic, RQ)):
         return np.arange(1.0, 11.0)
     if isinstance(leaf, Linear):
         return _julia_range(-3.0, 0.1, 3.0)

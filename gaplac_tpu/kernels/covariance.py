@@ -37,15 +37,20 @@ from gaplac_tpu.dsl.ast import (
     GPComponent,
     Leaf,
     Linear,
+    Matern32,
+    Matern52,
     Noise,
     OU,
+    Periodic,
+    RQ,
     SqExp,
     leaves as ast_leaves,
     sum_of_products,
 )
 
 # Leaf kind codes (static ints baked into the compiled closure)
-K_SQEXP, K_OU, K_LINEAR, K_CAT, K_NOISE, K_CONST = range(6)
+(K_SQEXP, K_OU, K_LINEAR, K_CAT, K_NOISE, K_CONST,
+ K_MATERN32, K_MATERN52, K_PERIODIC, K_RQ) = range(10)
 
 _KIND_OF = {
     SqExp: K_SQEXP,
@@ -54,21 +59,39 @@ _KIND_OF = {
     Cat: K_CAT,
     Noise: K_NOISE,
     Constant: K_CONST,
+    Matern32: K_MATERN32,
+    Matern52: K_MATERN52,
+    Periodic: K_PERIODIC,
+    RQ: K_RQ,
 }
 
+_SQRT3 = 3.0 ** 0.5
+_SQRT5 = 5.0 ** 0.5
 
-def _leaf_cross(kind: int, x1: jnp.ndarray, x2: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+
+def _leaf_cross(
+    kind: int,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    p: jnp.ndarray,
+    extra: Tuple[float, ...] = (),
+) -> jnp.ndarray:
     """1-D cross covariance block k(x1[:,None], x2[None,:]) for one leaf.
 
-    ``p`` is the leaf's scalar hyperparameter (l / c / s2; ignored for Cat).
-    Definitions match KernelFunctions numerically
+    ``p`` is the leaf's scalar hyperparameter (l / c / s2; ignored for Cat);
+    ``extra`` are the leaf's STATIC shape parameters (Periodic period,
+    RQ alpha).  Definitions match KernelFunctions numerically
     (abstractgp_translations.jl:8-15):
-      SqExp : exp(-d^2 / (2 l^2))
-      OU    : exp(-|d| / l)
-      Linear: x*x' + c
-      Cat   : 1[x == x']
-      Noise : s2 * 1[x == x']   (column-keyed white noise)
-      Const : c
+      SqExp   : exp(-d^2 / (2 l^2))
+      OU      : exp(-|d| / l)
+      Linear  : x*x' + c
+      Cat     : 1[x == x']
+      Noise   : s2 * 1[x == x']   (column-keyed white noise)
+      Const   : c
+      Matern32: (1 + sqrt(3)|d|/l) exp(-sqrt(3)|d|/l)
+      Matern52: (1 + sqrt(5)|d|/l + 5 d^2/(3 l^2)) exp(-sqrt(5)|d|/l)
+      Periodic: exp(-2 sin^2(pi d / period) / l^2)
+      RQ      : (1 + d^2 / (2 alpha l^2))^(-alpha)
     """
     d = x1[:, None] - x2[None, :]
     if kind == K_SQEXP:
@@ -84,6 +107,18 @@ def _leaf_cross(kind: int, x1: jnp.ndarray, x2: jnp.ndarray, p: jnp.ndarray) -> 
         return p * (d == 0).astype(x1.dtype)
     if kind == K_CONST:
         return jnp.broadcast_to(p, (x1.shape[0], x2.shape[0])).astype(x1.dtype)
+    if kind == K_MATERN32:
+        r = _SQRT3 * jnp.abs(d) / p
+        return (1.0 + r) * jnp.exp(-r)
+    if kind == K_MATERN52:
+        r = _SQRT5 * jnp.abs(d) / p
+        return (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+    if kind == K_PERIODIC:
+        s = jnp.sin(jnp.pi * d / extra[0]) ** 2
+        return jnp.exp(-2.0 * s / (p * p))
+    if kind == K_RQ:
+        alpha = extra[0]
+        return (1.0 + d * d / (2.0 * alpha * p * p)) ** (-alpha)
     raise ValueError(f"unknown leaf kind {kind}")
 
 
@@ -91,7 +126,7 @@ def _leaf_diag(kind: int, x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Diagonal of the symmetric gram for one leaf: k(x_i, x_i)."""
     n = x.shape[0]
     one = jnp.ones((n,), x.dtype)
-    if kind in (K_SQEXP, K_OU, K_CAT):
+    if kind in (K_SQEXP, K_OU, K_CAT, K_MATERN32, K_MATERN52, K_PERIODIC, K_RQ):
         return one
     if kind == K_LINEAR:
         return x * x + p
@@ -114,6 +149,7 @@ class CompiledKernel:
       terms    : sum-of-products structure as leaf-index tuples
       defaults : per-leaf default hyperparameter values
       leaf_vars: per-leaf varname ("" for bare Noise/Constant)
+      extras   : per-leaf STATIC shape parameters (Periodic period, RQ alpha)
     """
 
     varnames: Tuple[str, ...]
@@ -122,6 +158,7 @@ class CompiledKernel:
     terms: Tuple[Tuple[int, ...], ...]
     defaults: Tuple[float, ...]
     leaf_vars: Tuple[str, ...]
+    extras: Tuple[Tuple[float, ...], ...] = ()
 
     # -- construction ------------------------------------------------------
 
@@ -145,7 +182,14 @@ class CompiledKernel:
             lf.hyperparam_default() if lf.hyperparam_name is not None else 0.0 for lf in lvs
         )
         leaf_vars = tuple(lf.varname for lf in lvs)
-        return CompiledKernel(tuple(varnames), kinds, tuple(cols), terms, defaults, leaf_vars)
+        extras = tuple(
+            (float(lf.p),) if isinstance(lf, Periodic)
+            else (float(lf.alpha),) if isinstance(lf, RQ)
+            else ()
+            for lf in lvs
+        )
+        return CompiledKernel(tuple(varnames), kinds, tuple(cols), terms, defaults,
+                              leaf_vars, extras)
 
     # -- parameters --------------------------------------------------------
 
@@ -187,6 +231,9 @@ class CompiledKernel:
         # bare Noise/Constant: key on row identity
         return jnp.arange(X.shape[0], dtype=X.dtype)
 
+    def _extra(self, li: int) -> Tuple[float, ...]:
+        return self.extras[li] if self.extras else ()
+
     def gram(
         self,
         params: jnp.ndarray,
@@ -213,7 +260,7 @@ class CompiledKernel:
                 else:
                     x1 = self._leaf_axis(X1, col)
                     x2 = self._leaf_axis(X2v, col)
-                b = _leaf_cross(self.kinds[li], x1, x2, params[li])
+                b = _leaf_cross(self.kinds[li], x1, x2, params[li], self._extra(li))
                 block = b if block is None else block * b
             K = K + block
         return K
@@ -235,13 +282,15 @@ class CompiledKernel:
             for li in term:
                 col = self.cols[li]
                 if col >= 0:
-                    b = _leaf_cross(self.kinds[li], X1[:, col], X2[:, col], params[li])
+                    b = _leaf_cross(self.kinds[li], X1[:, col], X2[:, col],
+                                    params[li], self._extra(li))
                 else:
                     b = _leaf_cross(
                         self.kinds[li],
                         row_ids1.astype(X1.dtype),
                         row_ids2.astype(X1.dtype),
                         params[li],
+                        self._extra(li),
                     )
                 block = b if block is None else block * b
             K = K + block
@@ -287,17 +336,25 @@ class CompiledKernel:
                     if kind == K_SQEXP:
                         d = x[:, None] - x[None, :]
                         cache = d * d
-                    elif kind == K_OU:
+                    elif kind in (K_OU, K_MATERN32, K_MATERN52):
                         cache = jnp.abs(x[:, None] - x[None, :])
                     elif kind == K_LINEAR:
                         cache = x[:, None] * x[None, :]
                     elif kind == K_NOISE:
                         cache = (x[:, None] == x[None, :]).astype(dtype)
+                    elif kind == K_PERIODIC:
+                        # the period is static: cache sin^2(pi d / p)
+                        d = x[:, None] - x[None, :]
+                        cache = jnp.sin(jnp.pi * d / self._extra(li)[0]) ** 2
+                    elif kind == K_RQ:
+                        d = x[:, None] - x[None, :]
+                        cache = d * d
                     else:  # K_CONST
                         cache = None
                     dyn_leaves.append((kind, cache, li))
                 else:
-                    b = _leaf_cross(kind, x, x, jnp.asarray(self.defaults[li], dtype))
+                    b = _leaf_cross(kind, x, x, jnp.asarray(self.defaults[li], dtype),
+                                    self._extra(li))
                     static_block = b if static_block is None else static_block * b
             if not dyn_leaves:
                 K0 = static_block if K0 is None else K0 + static_block
@@ -320,6 +377,17 @@ class CompiledKernel:
                         b = cache + p
                     elif kind == K_NOISE:
                         b = cache * p
+                    elif kind == K_MATERN32:
+                        r = cache * (_SQRT3 / p)
+                        b = (1.0 + r) * jnp.exp(-r)
+                    elif kind == K_MATERN52:
+                        r = cache * (_SQRT5 / p)
+                        b = (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+                    elif kind == K_PERIODIC:
+                        b = jnp.exp(cache * (-2.0 / (p * p)))
+                    elif kind == K_RQ:
+                        alpha = self._extra(li)[0]
+                        b = (1.0 + cache / (2.0 * alpha * p * p)) ** (-alpha)
                     else:  # K_CONST
                         b = jnp.broadcast_to(p.astype(dtype), (n, n))
                     block = b if block is None else block * b

@@ -47,7 +47,7 @@ TILE = 256
 _LANE = 128  # row-side feature padding (lane dimension granularity)
 
 
-def _leaf_tile(kind: int, x1, x2, p):
+def _leaf_tile(kind: int, x1, x2, p, extra=()):
     """One leaf's (T1, T2) tile from x1: (T1, 1) and x2: (1, T2)."""
     if kind == K_SQEXP:
         d = x1 - x2
@@ -60,6 +60,18 @@ def _leaf_tile(kind: int, x1, x2, p):
         return (x1 == x2).astype(jnp.float32)
     if kind == K_NOISE:
         return p * (x1 == x2).astype(jnp.float32)
+    if kind == K_MATERN32:
+        r = _SQRT3 * jnp.abs(x1 - x2) / p
+        return (1.0 + r) * jnp.exp(-r)
+    if kind == K_MATERN52:
+        r = _SQRT5 * jnp.abs(x1 - x2) / p
+        return (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+    if kind == K_PERIODIC:
+        s = jnp.sin(jnp.pi * (x1 - x2) / extra[0]) ** 2
+        return jnp.exp(-2.0 * s / (p * p))
+    if kind == K_RQ:
+        d = x1 - x2
+        return (1.0 + d * d / (2.0 * extra[0] * p * p)) ** (-extra[0])
     raise ValueError(kind)
 
 
@@ -82,7 +94,7 @@ def _make_gram_kernel(ck: CompiledKernel, symmetric: bool, t1: int, t2: int):
                 if c >= 0:
                     x1 = x1_ref[:, c : c + 1]        # (t1, 1) natural layout
                     x2 = x2t_ref[c : c + 1, :]       # (1, t2) transposed layout
-                    b = _leaf_tile(kinds[li], x1, x2, p)
+                    b = _leaf_tile(kinds[li], x1, x2, p, ck._extra(li))
                 elif kinds[li] == K_CONST:
                     b = jnp.full((t1, t2), 1.0) * p
                 elif symmetric:                      # bare Noise: row identity

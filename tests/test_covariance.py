@@ -171,3 +171,61 @@ def test_bind_static_subset():
     np.testing.assert_allclose(
         np.asarray(bound(params)), np.asarray(ck.gram(params, X)), rtol=1e-12
     )
+
+
+def test_extended_kernels_closed_forms():
+    """Matern32/52, Periodic, RQ vs closed forms at hand-picked points."""
+    import math
+
+    import numpy as np
+
+    from gaplac_tpu.dsl.parser import parse_formula
+
+    x = np.array([0.0, 0.7, 2.3])
+    X = jnp.asarray(x[:, None])
+    d = abs(x[0] - x[1])
+
+    def k00_01(formula, expect01):
+        ck = compile_formula(parse_formula(formula).formula)
+        K = np.asarray(ck.gram(ck.default_params(X.dtype), X))
+        np.testing.assert_allclose(np.diag(K), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(K[0, 1], expect01, rtol=1e-10)
+        assert np.allclose(K, K.T)
+
+    l = 1.3
+    r3 = math.sqrt(3) * d / l
+    k00_01(f"y ~| Matern32(:x; l={l})", (1 + r3) * math.exp(-r3))
+    r5 = math.sqrt(5) * d / l
+    k00_01(f"y ~| Matern52(:x; l={l})", (1 + r5 + r5 * r5 / 3) * math.exp(-r5))
+    p = 2.1
+    k00_01(
+        f"y ~| Periodic(:x; l={l}, p={p})",
+        math.exp(-2 * math.sin(math.pi * d / p) ** 2 / l**2),
+    )
+    a = 1.7
+    k00_01(
+        f"y ~| RQ(:x; l={l}, alpha={a})",
+        (1 + d * d / (2 * a * l * l)) ** (-a),
+    )
+
+
+def test_extended_kernels_bind_and_infer():
+    """bind() and --infer param slots cover the extended kernels."""
+    import numpy as np
+
+    from gaplac_tpu.dsl.parser import parse_formula
+
+    spec = parse_formula(
+        "y ~| Matern32(:t) + Matern52(:t; l=2) + Periodic(:t; l=1, p=3) + RQ(:t; alpha=1.5)"
+    )
+    ck = compile_formula(spec.formula)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(0, 5, (11, 4)))
+    dynamic = ck.param_slots_for_vars(["t"])
+    assert dynamic == (0, 1, 2, 3)  # every extended leaf's l is inferable
+    params = ck.default_params(X.dtype).at[jnp.asarray(dynamic)].set(
+        jnp.asarray(rng.uniform(0.5, 2.5, 4))
+    )
+    bound = ck.bind(X, dynamic, diag=0.1)
+    K_ref = ck.gram(params, X) + 0.1 * jnp.eye(11, dtype=X.dtype)
+    np.testing.assert_allclose(np.asarray(bound(params)), np.asarray(K_ref), rtol=1e-12)
