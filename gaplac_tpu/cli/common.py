@@ -86,14 +86,18 @@ def resolve_hyper_columns(df: pd.DataFrame, n_hyper: int, path: str) -> list:
 def default_slot_groups(ck: CompiledKernel):
     """Hyperparameter slot groups assumed when a chain-consuming command
     (predict/sample --mcmc) is run without --infer: ONE shared scalar over
-    every lengthscale-kind leaf (SqExp/OU), the reference mcmc's common case.
+    every lengthscale-kind leaf (SqExp/OU/Matern/Periodic/RQ), the reference
+    mcmc's common case.
     Shared by predict and sample so both reconstruct the SAME model from the
     same chain."""
-    from gaplac_tpu.kernels.covariance import K_OU, K_SQEXP
+    from gaplac_tpu.kernels.covariance import (
+        K_MATERN32, K_MATERN52, K_OU, K_PERIODIC, K_RQ, K_SQEXP,
+    )
 
+    lengthscale_kinds = (K_SQEXP, K_OU, K_MATERN32, K_MATERN52, K_PERIODIC, K_RQ)
     shared = tuple(
         i for i, k in enumerate(ck.kinds)
-        if ck.leaf_vars[i] and k in (K_SQEXP, K_OU)
+        if ck.leaf_vars[i] and k in lengthscale_kinds
     )
     if not shared:
         raise ValueError(

@@ -268,3 +268,32 @@ def test_mcmc_progress_flag(tmp_path, capfd):
     err = capfd.readouterr().err
     assert "[warmup] 10/10" in err
     assert "[sampling] 10/10" in err
+
+
+def test_extended_kernel_mcmc_predict_no_infer(tmp_path):
+    """mcmc + predict with an extended kernel (Matern52), predict WITHOUT
+    --infer: default_slot_groups must treat Matern/Periodic/RQ lengthscales
+    as chain-sampled hyperparameters (one shared l, the reference default)."""
+    rng = np.random.default_rng(3)
+    n = 30
+    t = rng.uniform(0, 10, n)
+    y = np.sin(t) + rng.normal(0, 0.3, n)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"t": t, "y": y}).to_csv(data, sep="\t", index=False)
+    chain = tmp_path / "c.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| Matern52(:t) + Periodic(:t; p=6.28)",
+        "--data", str(data), "--infer", "t",
+        "--samples", "20", "--warmup", "60", "--output", str(chain),
+    ])
+    assert rc == 0
+    out = tmp_path / "p.tsv"
+    rc = main([
+        "--platform", "cpu", "predict", "y ~| Matern52(:t) + Periodic(:t; p=6.28)",
+        "--data", str(data), "--mcmc", str(chain),
+        "--at", "t=0:2:10", "--output", str(out),
+    ])
+    assert rc == 0
+    pred = pd.read_csv(out, sep="\t")
+    assert np.isfinite(pred["ymu"]).all()
+    assert (pred["yQ050"] <= pred["yQ950"]).all()
