@@ -90,14 +90,11 @@ def default_slot_groups(ck: CompiledKernel):
     mcmc's common case.
     Shared by predict and sample so both reconstruct the SAME model from the
     same chain."""
-    from gaplac_tpu.kernels.covariance import (
-        K_MATERN32, K_MATERN52, K_OU, K_PERIODIC, K_RQ, K_SQEXP,
-    )
+    from gaplac_tpu.kernels.covariance import LENGTHSCALE_KINDS
 
-    lengthscale_kinds = (K_SQEXP, K_OU, K_MATERN32, K_MATERN52, K_PERIODIC, K_RQ)
     shared = tuple(
         i for i, k in enumerate(ck.kinds)
-        if ck.leaf_vars[i] and k in lengthscale_kinds
+        if ck.leaf_vars[i] and k in LENGTHSCALE_KINDS
     )
     if not shared:
         raise ValueError(

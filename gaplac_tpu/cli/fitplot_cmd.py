@@ -42,8 +42,8 @@ def term_gram(ck: CompiledKernel, term_idx: int, params, X1, X2=None):
 
 
 def term_label(ck: CompiledKernel, term_idx: int) -> str:
-    kind_names = {0: "SqExp", 1: "OU", 2: "Linear", 3: "Cat", 4: "Noise",
-                  5: "Constant", 6: "Matern32", 7: "Matern52", 8: "Periodic", 9: "RQ"}
+    from gaplac_tpu.kernels.covariance import KIND_NAMES as kind_names
+
     parts = []
     for li in ck.terms[term_idx]:
         v = ck.leaf_vars[li]

@@ -135,11 +135,14 @@ def _smc_evidence(args, spec, df, dtype) -> float:
     if args.infer:
         inferable = list(args.infer)
     else:
-        # default: the shared lengthscale over all SqExp/OU leaves (the mcmc
-        # command's natural target); fall back to fixed-hyperparam logpdf if
-        # the formula has nothing to infer
+        # default: the shared lengthscale over all lengthscale-kind leaves
+        # (the mcmc command's natural target); fall back to fixed-hyperparam
+        # logpdf if the formula has nothing to infer
+        from gaplac_tpu.kernels.covariance import LENGTHSCALE_KINDS
+
         inferable = [
-            v for v, k in zip(ck.leaf_vars, ck.kinds) if v and k in (0, 1)
+            v for v, k in zip(ck.leaf_vars, ck.kinds)
+            if v and k in LENGTHSCALE_KINDS
         ]
     if not inferable:
         K = ck.gram(ck.default_params(dtype), X)

@@ -252,6 +252,14 @@ def self_is_kw(p: _Parser) -> bool:
 
 def _make_leaf(name: str, varname: Optional[str], kwargs: dict, pos: List[float]) -> Leaf:
     lname = name.lower()
+    if kwargs and pos:
+        # `Periodic(:t; l=2, 5)` — which slot does 5 bind? Binding positionals
+        # by index once keywords consumed some slots silently drops values;
+        # reject the mix outright.
+        raise FormulaError(
+            f"{name}: mixing keyword and positional parameters is ambiguous; "
+            f"use keywords for all of them"
+        )
     if lname == "sqexp":
         if varname is None:
             raise FormulaError("SqExp requires a variable, e.g. SqExp(:x)")
@@ -288,6 +296,10 @@ def _make_leaf(name: str, varname: Optional[str], kwargs: dict, pos: List[float]
         l = kwargs.pop("l", pos[0] if pos else 1.0)
         p_ = kwargs.pop("p", kwargs.pop("period", pos[1] if len(pos) > 1 else 1.0))
         _no_extra(name, kwargs)
+        if float(p_) <= 0:
+            # the period is static (never sampled) — a bad value can only be
+            # fixed here, not by inference
+            raise FormulaError(f"Periodic period must be > 0, got {p_}")
         return Periodic(varname, l=float(l), p=float(p_))
     if lname in ("rq", "rationalquadratic"):
         if varname is None:
@@ -295,6 +307,8 @@ def _make_leaf(name: str, varname: Optional[str], kwargs: dict, pos: List[float]
         l = kwargs.pop("l", pos[0] if pos else 1.0)
         alpha = kwargs.pop("alpha", kwargs.pop("a", pos[1] if len(pos) > 1 else 2.0))
         _no_extra(name, kwargs)
+        if float(alpha) <= 0:
+            raise FormulaError(f"RQ alpha must be > 0, got {alpha}")
         return RQ(varname, l=float(l), alpha=float(alpha))
     if lname == "noise":
         s2 = kwargs.pop("s2", kwargs.pop("s", pos[0] if pos else 1.0))

@@ -65,6 +65,17 @@ _KIND_OF = {
     RQ: K_RQ,
 }
 
+#: kind code -> display name (single source for CLI labels/reports)
+KIND_NAMES = {
+    K_SQEXP: "SqExp", K_OU: "OU", K_LINEAR: "Linear", K_CAT: "Cat",
+    K_NOISE: "Noise", K_CONST: "Constant", K_MATERN32: "Matern32",
+    K_MATERN52: "Matern52", K_PERIODIC: "Periodic", K_RQ: "RQ",
+}
+
+#: kinds whose scalar hyperparameter is a lengthscale (the `--infer`-able,
+#: chain-sampled class; predict/select default-slot logic keys on this)
+LENGTHSCALE_KINDS = (K_SQEXP, K_OU, K_MATERN32, K_MATERN52, K_PERIODIC, K_RQ)
+
 _SQRT3 = 3.0 ** 0.5
 _SQRT5 = 5.0 ** 0.5
 
@@ -333,7 +344,7 @@ class CompiledKernel:
                 x = self._leaf_axis(X, self.cols[li])
                 kind = self.kinds[li]
                 if li in dyn and kind != K_CAT:  # Cat has no hyperparameter
-                    if kind == K_SQEXP:
+                    if kind in (K_SQEXP, K_RQ):
                         d = x[:, None] - x[None, :]
                         cache = d * d
                     elif kind in (K_OU, K_MATERN32, K_MATERN52):
@@ -346,9 +357,6 @@ class CompiledKernel:
                         # the period is static: cache sin^2(pi d / p)
                         d = x[:, None] - x[None, :]
                         cache = jnp.sin(jnp.pi * d / self._extra(li)[0]) ** 2
-                    elif kind == K_RQ:
-                        d = x[:, None] - x[None, :]
-                        cache = d * d
                     else:  # K_CONST
                         cache = None
                     dyn_leaves.append((kind, cache, li))

@@ -26,12 +26,18 @@ import numpy as np
 from jax import lax
 
 from gaplac_tpu.kernels.covariance import (
+    _SQRT3,
+    _SQRT5,
     CompiledKernel,
     K_CAT,
     K_CONST,
     K_LINEAR,
+    K_MATERN32,
+    K_MATERN52,
     K_NOISE,
     K_OU,
+    K_PERIODIC,
+    K_RQ,
     K_SQEXP,
 )
 

@@ -153,3 +153,22 @@ def test_chol_batched_pallas_kernel_interpret():
     np.testing.assert_allclose(
         np.asarray(Lk), np.asarray(jnp.linalg.cholesky(A)), rtol=1e-4, atol=1e-4
     )
+
+
+def test_pallas_gram_interpret_extended_kernels():
+    """Pallas tile path must cover Matern32/52, Periodic, RQ (regression:
+    the extended kinds once NameError'd inside _leaf_tile, invisible to CPU
+    tests because pallas_gram falls back to ck.gram off-TPU)."""
+    ck = compile_formula(
+        parse_formula(
+            "y ~| Matern32(:t) + Matern52(:t2) * Periodic(:s; l=1.2, p=2.5)"
+            " + RQ(:x; l=0.8, alpha=1.5)"
+        ).formula
+    )
+    p = ck.default_params(jnp.float32).at[0].set(1.9)
+    X = _data(200)
+    Kp = pallas_gram(ck, p, X, interpret=True, tile=128)
+    np.testing.assert_allclose(np.asarray(Kp), np.asarray(ck.gram(p, X)), atol=1e-5)
+    X2 = _data(70, seed=2)
+    Kc = pallas_gram(ck, p, X, X2, interpret=True, tile=128)
+    np.testing.assert_allclose(np.asarray(Kc), np.asarray(ck.gram(p, X, X2)), atol=1e-5)

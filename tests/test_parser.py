@@ -121,3 +121,24 @@ def test_errors():
 def test_parenthesized_sum_parses():
     node = parse_kernel_expr("(SqExp(:a) + OU(:b))")
     assert isinstance(node, GPOperation) and node.op == "add"
+
+
+def test_static_param_validation_and_no_kw_pos_mix():
+    """Periodic p / RQ alpha are static (never sampled): bad values must fail
+    at parse time; mixing keyword+positional params is rejected as ambiguous
+    (a positional after a keyword used to be silently dropped)."""
+    with pytest.raises(FormulaError):
+        parse_kernel_expr("Periodic(:t; p=0)")
+    with pytest.raises(FormulaError):
+        parse_kernel_expr("Periodic(:t; p=-1.5)")
+    with pytest.raises(FormulaError):
+        parse_kernel_expr("RQ(:x; alpha=0)")
+    with pytest.raises(FormulaError):
+        parse_kernel_expr("Periodic(:t; l=2, 5)")
+    with pytest.raises(FormulaError):
+        parse_kernel_expr("SqExp(:x; l=2, 5)")
+    # pure-positional and pure-keyword forms both still parse
+    k = parse_kernel_expr("RQ(:x; l=1.5, alpha=3)")
+    assert k.l == 1.5 and k.alpha == 3.0
+    k = parse_kernel_expr("SqExp(:x; 2.5)")
+    assert k.l == 2.5

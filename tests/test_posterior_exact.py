@@ -38,6 +38,27 @@ def setup():
     return X, y, ls, cdf
 
 
+@pytest.fixture(scope="module")
+def setup_matern():
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-5, 5, 40)
+    gen = compile_formula(parse_formula("y ~| Matern32(:x; l=1.5)").formula)
+    X = jnp.asarray(x[:, None])
+    y = mvn.sample_mvn(jax.random.key(9), gen.gram(gen.default_params(), X), jitter=0.1)
+    ck = compile_formula(parse_formula("y ~| Matern32(:x)").formula)
+    ls = np.linspace(0.01, 19.99, 600)
+    lps = np.array([
+        float(mvn.mvn_logpdf(
+            ck.gram(ck.default_params().at[0].set(l), X) + 1.1 * jnp.eye(40), y
+        ))
+        for l in ls
+    ])
+    post = np.exp(lps - logsumexp(lps))
+    post /= post.sum()
+    cdf = np.cumsum(post)
+    return X, y, ls, cdf
+
+
 def _ks(samples, ls, cdf):
     """KS distance between sampled l values and the quadrature posterior."""
     samples = np.sort(samples)
@@ -82,3 +103,17 @@ def test_smc_particles_match_quadrature(setup):
     res = smc_log_evidence_gp(jax.random.key(0), m, n_particles=1024)
     ells = np.asarray(jax.vmap(m.constrain)(res.particles)).ravel()
     assert _ks(ells, ls, cdf) < 0.15
+
+
+def test_nuts_matches_quadrature_matern(setup_matern):
+    """Same quadrature oracle on a Matern32 model — validates the extended
+    kernels' gradients/density through the full sampler path."""
+    X, y, ls, cdf = setup_matern
+    spec = parse_formula("y ~| Matern32(:x)")
+    m = build_model(compile_formula(spec.formula), ["x"], X, y, spec.likelihood)
+    res = jax.jit(
+        lambda k: run_nuts(k, m.logdensity, m.initial_position(jax.random.key(3)),
+                           1200, num_warmup=400)
+    )(jax.random.key(7))
+    ells = np.asarray(jax.vmap(m.constrain)(res.positions)).ravel()
+    assert _ks(ells, ls, cdf) < 0.12
