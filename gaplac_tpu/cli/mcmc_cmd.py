@@ -116,10 +116,17 @@ def run(args) -> None:
     key = jax.random.key(args.seed)
     k_init, k_run, k_report = jax.random.split(key, 3)
 
-    if getattr(args, "sampler", "nuts") == "advi":
+    sampler = getattr(args, "sampler", "nuts")
+    if sampler in ("advi", "chees") and (args.resume or args.checkpoint):
+        # these paths return before the NUTS resume/checkpoint handling below
+        log.warning(
+            "--resume/--checkpoint are only supported with --sampler nuts; "
+            "ignored for %s (starting fresh, no checkpoint written)", sampler,
+        )
+    if sampler == "advi":
         _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report)
         return
-    if getattr(args, "sampler", "nuts") == "chees":
+    if sampler == "chees":
         _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
                         k_init, k_run, k_report)
         return

@@ -155,6 +155,15 @@ def _smc_evidence(args, spec, df, dtype) -> float:
         _jax.random.key(args.seed), model, n_particles=args.particles
     )
     lp = float(res.log_evidence)
+    final_beta = float(res.final_beta)
+    if final_beta < 1.0:
+        log.warning(
+            "SMC for %s stopped at inverse temperature beta=%.4f < 1 "
+            "(max stages reached): the reported evidence is for a partially "
+            "tempered target and will bias the Bayes factor — rerun with "
+            "more particles (--particles) for a tighter tempering schedule",
+            formulae_str(spec), final_beta,
+        )
     log.info(
         "SMC evidence for %s: %.4f (%d stages, %d particles)",
         formulae_str(spec), lp, int(res.n_stages), args.particles,

@@ -37,8 +37,10 @@ import numpy as np
 
 from gaplac_tpu.inference.hmc import (
     DualAveragingState,
+    LeapfrogState,
     da_init,
     da_update,
+    leapfrog_step,
     welford_init,
     welford_update,
     welford_variance,
@@ -114,11 +116,12 @@ def run_chees(
 
         def body(carry):
             q, p, logp, grad, t = carry
-            p_half = p + 0.5 * eps * grad
-            q = q + eps * (inv_mass * p_half)
-            logp, grad = jax.vmap(vag)(q)
-            p = p_half + 0.5 * eps * grad
-            return (q, p, logp, grad, t + 1)
+            # hmc.leapfrog_step broadcasts over the (chains, dim) batch with
+            # the (dim,) diagonal mass — one shared integrator implementation
+            st = leapfrog_step(
+                jax.vmap(vag), LeapfrogState(q, p, logp, grad), eps, inv_mass
+            )
+            return (st.q, st.p, st.logp, st.grad, t + 1)
 
         q, p, logp, grad, _ = jax.lax.while_loop(
             cond, body, (q, p, logp, grad, jnp.zeros((), jnp.int32))
@@ -235,25 +238,30 @@ def run_chees(
         warm_progress(i)
         return new, out
 
-    h1 = num_warmup // 2
-    carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1))
-    var = jnp.var(carry.q, axis=0) + 1e-3
-    carry = carry._replace(inv_mass=var, wf=welford_init(dim, dtype))
-    carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1, num_warmup))
+    if num_warmup > 0:
+        h1 = num_warmup // 2
+        carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1))
+        var = jnp.var(carry.q, axis=0) + 1e-3
+        carry = carry._replace(inv_mass=var, wf=welford_init(dim, dtype))
+        carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1, num_warmup))
 
-    inv_mass_final = welford_variance(carry.wf)
-    eps_guess = jnp.exp(carry.da.log_eps_avg)
-    # rescale eps for the mass change: the whitened step per dim is
-    # eps*sqrt(inv_mass), so keeping it invariant needs
-    # eps_new = eps_old * sqrt(old/new) (geometric mean across dims).
-    # (An explicit post-switch eps-refinement phase was tried and measured
-    # SLOWER end-to-end on TPU: the sampling-phase accept sits above target
-    # because the accept distribution near the leapfrog stability threshold
-    # is bimodal — pushing eps up triggers divergences, so DA's equilibrium
-    # is stability-limited, and the refinement only adds warmup cost.)
-    ratio = jnp.exp(0.5 * jnp.mean(jnp.log(carry.inv_mass / inv_mass_final)))
-    eps_final = eps_guess * ratio
-    carry = carry._replace(da=da_init(eps_final), inv_mass=inv_mass_final)
+        inv_mass_final = welford_variance(carry.wf)
+        eps_guess = jnp.exp(carry.da.log_eps_avg)
+        # rescale eps for the mass change: the whitened step per dim is
+        # eps*sqrt(inv_mass), so keeping it invariant needs
+        # eps_new = eps_old * sqrt(old/new) (geometric mean across dims).
+        # (An explicit post-switch eps-refinement phase was tried and measured
+        # SLOWER end-to-end on TPU: the sampling-phase accept sits above target
+        # because the accept distribution near the leapfrog stability threshold
+        # is bimodal — pushing eps up triggers divergences, so DA's equilibrium
+        # is stability-limited, and the refinement only adds warmup cost.)
+        ratio = jnp.exp(0.5 * jnp.mean(jnp.log(carry.inv_mass / inv_mass_final)))
+        eps_final = eps_guess * ratio
+        carry = carry._replace(da=da_init(eps_final), inv_mass=inv_mass_final)
+    else:
+        # no warmup: sample with the caller's step size and unit mass (the
+        # DA average would be exp(0)=1 and the Welford mass would be empty)
+        eps_final = jnp.asarray(init_step_size, dtype)
 
     def samp_step(c, i):
         new, out = transition(c, adapt=False)

@@ -44,7 +44,8 @@ def ess(x: jnp.ndarray, max_lag: int | None = None) -> jnp.ndarray:
     acov = np.fft.irfft(f * np.conj(f), fsize, axis=1)[:, : n].real / n
     chain_var = acov[:, 0] * n / (n - 1)
     w = chain_var.mean()
-    var_plus = acov[:, 0].mean() * n / (n - 1)
+    # Stan: var_plus = W*(n-1)/n + B/n, and W*(n-1)/n == mean(acov[:, 0])
+    var_plus = acov[:, 0].mean()
     if m > 1:
         var_plus += x.mean(axis=1).var(ddof=1)
     rho = 1.0 - (w - acov.mean(axis=0)) / var_plus  # rho[0] == 1

@@ -53,7 +53,8 @@ def laplace_approx(
     ll = lambda f: jnp.sum(loglik_fn(y, f, aux))
     grad_ll = jax.grad(ll)
 
-    def newton(f, _):
+    def newton(carry, _):
+        f, _a = carry
         g = grad_ll(f)
         W = jnp.maximum(-_diag_hess(loglik_fn, y, f, aux), 1e-9)
         sw = jnp.sqrt(W)
@@ -64,18 +65,19 @@ def laplace_approx(
         v = linalg.solve_triangular(L, sw * Kb, lower=True)
         a = b - sw * linalg.solve_triangular(L.T, v, lower=False)
         f_new = K @ a
-        return f_new, None
+        return (f_new, a), None
 
     f0 = jnp.zeros((n,), dtype)
-    f_hat, _ = jax.lax.scan(newton, f0, None, length=num_iters)
+    (f_hat, a_hat), _ = jax.lax.scan(newton, (f0, f0), None, length=num_iters)
 
-    # final quantities at the mode
+    # final quantities at the mode; f_hat = K a_hat, so the GPML Alg 3.1
+    # quadratic term -0.5 f^T K^{-1} f = -0.5 a^T f needs no extra Cholesky
     W = jnp.maximum(-_diag_hess(loglik_fn, y, f_hat, aux), 1e-9)
     sw = jnp.sqrt(W)
     B = eye + sw[:, None] * K * sw[None, :]
     L = linalg.cholesky(B)
     log_marginal = (
-        -0.5 * jnp.dot(f_hat, _K_inv_f(K, f_hat))
+        -0.5 * jnp.dot(a_hat, f_hat)
         + ll(f_hat)
         - jnp.sum(jnp.log(jnp.diagonal(L)))
     )
@@ -93,11 +95,6 @@ def _diag_hess(loglik_fn, y, f, aux):
     return jax.vmap(one)(y, f, aux)
 
 
-def _K_inv_f(K, f):
-    """K^{-1} f (K carries the model's jitter, so it is safely PD)."""
-    Lk = linalg.cholesky(K + 1e-8 * jnp.trace(K) / K.shape[0] * jnp.eye(K.shape[0], dtype=K.dtype))
-    a = linalg.solve_triangular(Lk, f, lower=True)
-    return linalg.solve_triangular(Lk.T, a, lower=False)
 
 
 def build_laplace_marginal(

@@ -42,9 +42,11 @@ class Interval(NamedTuple):
 
     def constrained_logprior(self, x):
         """log Uniform(lo,hi) density at the constrained value (what the
-        reference's lp column contains)."""
+        reference's lp column contains).  Closed interval: f32 chains record
+        draws exactly at lo/hi under sigmoid saturation (see inverse()), and
+        those must not poison the lp column with -inf."""
         return jnp.where(
-            (x > self.lo) & (x < self.hi), -math.log(self.hi - self.lo), -jnp.inf
+            (x >= self.lo) & (x <= self.hi), -math.log(self.hi - self.lo), -jnp.inf
         )
 
 

@@ -34,8 +34,8 @@ def run_advi(
     """Maximize ELBO(mu, log_sigma) = E_q[logp(v)] + H[q]."""
     dim = model.dim
     k_init, k_run = jax.random.split(key)
-    dtype = model.initial_position(k_init).dtype
     mu0 = model.initial_position(k_init)
+    dtype = mu0.dtype
     ls0 = jnp.full((dim,), -1.0, dtype)
 
     opt = optax.adam(learning_rate)

@@ -35,7 +35,11 @@ def shard_chain_axis(*arrays, mesh: Optional[Mesh] = None):
     ndev = mesh.devices.size
     if ndev <= 1 or n % ndev != 0:
         if ndev > 1:
-            log.debug("chains (%d) not divisible by devices (%d); running unsharded", n, ndev)
+            log.warning(
+                "chains (%d) not divisible by devices (%d); running UNSHARDED "
+                "on one device — pick a chain count that is a multiple of %d",
+                n, ndev, ndev,
+            )
         return arrays if len(arrays) > 1 else arrays[0]
     sharding = NamedSharding(mesh, P("chains"))
     out = tuple(jax.device_put(a, sharding) for a in arrays)

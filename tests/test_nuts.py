@@ -143,3 +143,30 @@ def test_chees_gp_agrees_with_nuts(guide_data):
         jax.vmap(jax.vmap(lambda v: m.constrain(v[:1])))(res.positions)
     ).ravel()
     assert 1.0 < np.median(ells) < 4.0  # same posterior region as NUTS
+
+
+def test_chees_zero_warmup_respects_step_size():
+    """num_warmup=0 must sample with the caller's init_step_size and unit
+    mass (regression: the DA average exp(0)=1 and an empty Welford mass were
+    used instead)."""
+    from gaplac_tpu.inference.chees import run_chees
+
+    ld = lambda q: -0.5 * jnp.sum(q * q)
+    q0 = jax.random.normal(jax.random.key(0), (4, 3))
+    res = jax.jit(
+        lambda k: run_chees(k, ld, q0, 10, num_warmup=0, init_step_size=0.05)
+    )(jax.random.key(1))
+    assert np.isclose(float(res.step_size), 0.05)
+    np.testing.assert_allclose(np.asarray(res.inv_mass), 1.0)
+    assert np.isfinite(np.asarray(res.positions)).all()
+
+
+def test_interval_lp_finite_at_bounds():
+    """Draws recorded exactly at the prior bounds (f32 sigmoid saturation)
+    must not produce -inf in the lp column."""
+    from gaplac_tpu.inference.transforms import Interval
+
+    tr = Interval(0.0, 20.0)
+    lp = np.asarray(tr.constrained_logprior(jnp.asarray([0.0, 10.0, 20.0])))
+    assert np.isfinite(lp).all()
+    assert not np.isfinite(float(tr.constrained_logprior(jnp.asarray(20.0001))))
