@@ -99,7 +99,9 @@ def read_numeric(path: str, delim: str) -> Optional[Tuple[List[str], np.ndarray]
         # into header via .value, but the C buffer itself must be released
         # through the library to avoid allocator mismatch
         lib.fastio_free_str(header_p)
-    names = header.split(delim)
+    # strip surrounding quotes (R's write.csv default quotes header names;
+    # the pandas fallback unquotes them, so the fast path must match)
+    names = [n.strip().strip('"').strip("'") for n in header.split(delim)]
     if len(names) != cols.value:
         return None
     return names, arr

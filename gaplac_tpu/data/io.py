@@ -28,10 +28,14 @@ from gaplac_tpu.data import fastio
 log = logging.getLogger("gaplac")
 
 
+def _sniff_header(header: str) -> str:
+    return "\t" if header.count("\t") >= header.count(",") and "\t" in header else ","
+
+
 def _sniff_sep(path: str) -> str:
     with open(path, "r") as fh:
         header = fh.readline()
-    return "\t" if header.count("\t") >= header.count(",") and "\t" in header else ","
+    return _sniff_header(header)
 
 
 def read_table(path: str) -> pd.DataFrame:
@@ -59,7 +63,9 @@ def _transpose_table(df: pd.DataFrame) -> pd.DataFrame:
     out.columns = [str(c) for c in out.columns]
     for c in out.columns:
         coerced = pd.to_numeric(out[c], errors="coerce")
-        if not coerced.isna().any():
+        # accept the coercion when every non-missing value parsed (a column
+        # with a missing cell must still become numeric — pandas would)
+        if (coerced.isna() == out[c].isna()).all():
             out[c] = coerced
     return out
 
@@ -96,9 +102,7 @@ def _load_one_source(part: str) -> tuple:
     if part == "stdin":
         text = sys.stdin.read()
         header = text.splitlines()[0] if text else ""
-        sep = sep_flag or (
-            "\t" if header.count("\t") >= header.count(",") and "\t" in header else ","
-        )
+        sep = sep_flag or _sniff_header(header)
         df = pd.read_csv(io.StringIO(text), sep=sep)
     elif sep_flag is not None:
         df = pd.read_csv(os.path.expanduser(part), sep=sep_flag)
@@ -187,9 +191,9 @@ def df_output(df: pd.DataFrame, output: Optional[str]) -> None:
     elif output is not None:
         log.info("Writing to `%s`", output)
         out = os.path.expanduser(output)
-        if out.endswith("csv"):
+        if out.endswith(".csv"):
             sep = ","
-        elif out.endswith("tsv"):
+        elif out.endswith(".tsv"):
             sep = "\t"
         else:
             raise ValueError("--output arg must be '.tsv' or '.csv'")

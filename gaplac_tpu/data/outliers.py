@@ -43,7 +43,14 @@ def remove_outliers(
         if f not in df.columns:
             raise ValueError(f"Outlier field {f!r} not in data columns {list(df.columns)}")
         col = pd.to_numeric(df[f], errors="coerce").to_numpy(dtype=float)
-        mask &= tukey_fence_mask(col, k)
+        was_missing = pd.isna(df[f]).to_numpy()
+        if np.isnan(col).all():
+            raise ValueError(
+                f"Outlier field {f!r} is not numeric; use --outlier-ignore "
+                f"or pick numeric fields"
+            )
+        # missing cells are not outliers — leave them for complete-cases
+        mask &= tukey_fence_mask(col, k) | np.isnan(col) | was_missing
     removed = int((~mask).sum())
     if removed:
         log.info("outlier removal (fence): dropped %d of %d rows", removed, len(df))

@@ -113,6 +113,14 @@ int fastio_read(const char* path, char delim,
             }
             if (field < line_end) ++field;  // skip the delimiter
         }
+        // reject rows with MORE fields than the header (silently dropping
+        // trailing values would mis-read malformed tables; the pandas
+        // fallback surfaces the shape mismatch, so must we)
+        while (field < line_end && (*field == ' ' || *field == '\r')) ++field;
+        if (field < line_end) {
+            std::free(data); std::free(header);
+            return -3;
+        }
         ++r;
         q = nl ? nl + 1 : line_end;
     }
@@ -141,7 +149,9 @@ int fastio_write(const char* path, char delim, const char* header,
         for (long c = 0; c < cols; ++c) {
             if (c) *w++ = delim;
             double v = data[r * cols + c];
-            if (v == static_cast<long long>(v) && std::fabs(v) < 1e15) {
+            // range-check BEFORE the cast: double->long long is UB for
+            // NaN/inf/|v| >= 2^63 ([conv.fpint])
+            if (std::fabs(v) < 1e15 && v == static_cast<long long>(v)) {
                 w += std::snprintf(w, 32, "%.1f", v);
             } else {
                 w += std::snprintf(w, 32, "%.17g", v);

@@ -348,7 +348,9 @@ def _auto_cholesky(A: jnp.ndarray) -> jnp.ndarray:
 
 def register(min_n: int = 2048) -> None:
     """Route gaplac_tpu.ops.linalg.cholesky to the blocked kernel for
-    n >= min_n on TPU."""
+    n >= min_n on TPU, and solve_triangular to the recursive blocked trsm
+    for large matrix RHS (both measured parity-or-better vs XLA on v5e)."""
     from gaplac_tpu.ops import linalg
 
     linalg.register_pallas_cholesky(_auto_cholesky, min_n=min_n)
+    linalg.register_blocked_solves(blocked_solve_lower, blocked_solve_upper)

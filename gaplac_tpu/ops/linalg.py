@@ -17,12 +17,29 @@ from jax.scipy.linalg import solve_triangular as _jsp_solve_triangular
 # Registered Pallas overrides: set by gaplac_tpu.ops.cholesky when available.
 _pallas_cholesky: Optional[Callable] = None
 _pallas_min_n: int = 1024
+_blocked_solve_lower: Optional[Callable] = None
+_blocked_solve_upper: Optional[Callable] = None
+_solve_min_n: int = 4096
+_solve_min_rhs: int = 128
 
 
 def register_pallas_cholesky(fn: Callable, min_n: int = 1024) -> None:
     global _pallas_cholesky, _pallas_min_n
     _pallas_cholesky = fn
     _pallas_min_n = min_n
+
+
+def register_blocked_solves(
+    lower: Callable, upper: Callable, min_n: int = 4096, min_rhs: int = 128
+) -> None:
+    """Route solve_triangular through the recursive blocked trsm for large
+    matrix right-hand sides on TPU (measured v5e: 1.3x XLA at n=4096,
+    matrix RHS; parity at 2048 — see benchmarks/results_v5e.txt)."""
+    global _blocked_solve_lower, _blocked_solve_upper, _solve_min_n, _solve_min_rhs
+    _blocked_solve_lower = lower
+    _blocked_solve_upper = upper
+    _solve_min_n = min_n
+    _solve_min_rhs = min_rhs
 
 
 def _on_tpu() -> bool:
@@ -47,4 +64,17 @@ def cholesky(K: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_triangular(L: jnp.ndarray, b: jnp.ndarray, lower: bool = True) -> jnp.ndarray:
+    """Triangular solve. Routes to the recursive blocked trsm for large
+    matrix right-hand sides on TPU (XLA's triangular_solve is sequential in
+    the RHS panel), else XLA's native op."""
+    fn = _blocked_solve_lower if lower else _blocked_solve_upper
+    if (
+        fn is not None
+        and L.ndim == 2
+        and b.ndim == 2
+        and L.shape[-1] >= _solve_min_n
+        and b.shape[-1] >= _solve_min_rhs
+        and _on_tpu()
+    ):
+        return fn(L, b)
     return _jsp_solve_triangular(L, b, lower=lower)

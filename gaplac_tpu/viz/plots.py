@@ -32,8 +32,10 @@ def sample_plot(
     noise: float = mvn.DEFAULT_JITTER,
 ):
     """1-D sample plot with posterior smoothing (ref: plotting.jl:1-26)."""
-    params = ck.default_params(jnp.asarray(x).dtype)
     X = jnp.asarray(np.asarray(x, float)[:, None])
+    # float dtype: integer data columns must not truncate fractional
+    # hyperparameter defaults (l=0.5 -> 0)
+    params = ck.default_params(X.dtype)
     yj = jnp.asarray(np.asarray(y, float))
 
     xmin, xmax = float(np.min(x)) - 1.0, float(np.max(x)) + 1.0

@@ -173,3 +173,23 @@ def test_mcmc_missing_column(data_file):
         "--infer", "nope", "--samples", "10",
     ])
     assert rc == 2
+
+
+def test_sample_plot_integer_column(tmp_path):
+    """Integer data columns must not truncate fractional hyperparameter
+    defaults in sample_plot (l=0.5 -> 0 gave an all-NaN band)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from gaplac_tpu.dsl import parse_formula
+    from gaplac_tpu.kernels.covariance import compile_formula
+    from gaplac_tpu.viz.plots import sample_plot
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 10, 25)          # int64 column
+    y = np.sin(x / 3.0) + rng.normal(0, 0.1, 25)
+    ck = compile_formula(parse_formula("y ~| SqExp(:t; l=0.5)").formula)
+    fig = sample_plot(ck, x, y, "t", "y")
+    line = fig.axes[0].lines[0]           # posterior-mean line
+    assert np.isfinite(np.asarray(line.get_ydata())).all()

@@ -83,3 +83,31 @@ def test_short_row_yields_nan_not_shift(have_native, tmp_path):
     np.testing.assert_allclose(arr[0][:2], [1.0, 2.0])
     assert np.isnan(arr[0][2])
     np.testing.assert_allclose(arr[1], [3.0, 4.0, 5.0])
+
+
+def test_quoted_header_unquoted(have_native, tmp_path):
+    """R's write.csv quotes header names; the fast path must unquote them
+    like the pandas fallback does."""
+    p = tmp_path / "r.csv"
+    p.write_text('"x","y"\n1.5,2.5\n3.0,4.0\n')
+    df = read_table(str(p))
+    assert list(df.columns) == ["x", "y"]
+    out = fastio.read_numeric(str(p), ",")
+    if out is not None:
+        assert out[0] == ["x", "y"]
+
+
+def test_extra_field_row_rejected(have_native, tmp_path):
+    """Rows with MORE fields than the header must not be silently truncated
+    by the native reader (pandas surfaces the mismatch)."""
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2,99\n")
+    assert fastio.read_numeric(str(p), ",") is None
+
+
+def test_df_output_requires_dot_extension(tmp_path):
+    df = pd.DataFrame({"x": [1.0]})
+    with pytest.raises(ValueError):
+        df_output(df, str(tmp_path / "outputcsv"))  # no '.': must reject
+    df_output(df, str(tmp_path / "ok.csv"))
+    assert (tmp_path / "ok.csv").read_text().startswith("x")

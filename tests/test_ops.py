@@ -172,3 +172,38 @@ def test_pallas_gram_interpret_extended_kernels():
     X2 = _data(70, seed=2)
     Kc = pallas_gram(ck, p, X, X2, interpret=True, tile=128)
     np.testing.assert_allclose(np.asarray(Kc), np.asarray(ck.gram(p, X, X2)), atol=1e-5)
+
+
+def test_solve_triangular_blocked_routing(monkeypatch):
+    """solve_triangular routes large matrix-RHS solves through the blocked
+    trsm once registered (and the result matches XLA's)."""
+    from jax.scipy.linalg import solve_triangular as jsp_solve
+
+    from gaplac_tpu.ops import linalg
+    from gaplac_tpu.ops.cholesky import blocked_solve_lower, blocked_solve_upper
+
+    rng = np.random.default_rng(0)
+    n = 32
+    A = rng.normal(size=(n, n))
+    L = jnp.asarray(np.linalg.cholesky(A @ A.T + n * np.eye(n)))
+    B = jnp.asarray(rng.normal(size=(n, 8)))
+    try:
+        linalg.register_blocked_solves(
+            blocked_solve_lower, blocked_solve_upper, min_n=8, min_rhs=4
+        )
+        monkeypatch.setattr(linalg, "_on_tpu", lambda: True)
+        got = linalg.solve_triangular(L, B, lower=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(jsp_solve(L, B, lower=True)), atol=1e-9
+        )
+        got_u = linalg.solve_triangular(L.T, B, lower=False)
+        np.testing.assert_allclose(
+            np.asarray(got_u), np.asarray(jsp_solve(L.T, B, lower=False)), atol=1e-9
+        )
+        # vector RHS must stay on the XLA path (shape guard)
+        v = linalg.solve_triangular(L, B[:, 0], lower=True)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(jsp_solve(L, B[:, 0], lower=True)), atol=1e-9
+        )
+    finally:
+        linalg.register_blocked_solves(blocked_solve_lower, blocked_solve_upper)
