@@ -24,6 +24,12 @@ def column_values(df: pd.DataFrame, name: str) -> np.ndarray:
     col = df[name]
     if pd.api.types.is_numeric_dtype(col):
         return col.to_numpy(dtype=float)
+    coerced = pd.to_numeric(col, errors="coerce")
+    if (coerced.isna() == col.isna()).all():
+        # numeric-valued object column (e.g. stringly-typed CSV): use the
+        # numbers — factorizing would corrupt distances for SqExp/OU leaves
+        # and mismatch design_matrices' numeric path
+        return coerced.to_numpy(dtype=float)
     codes, _ = pd.factorize(col)
     log.debug("Factorized non-numeric column %s to %d levels", name, codes.max() + 1)
     return codes.astype(float)
@@ -53,9 +59,14 @@ def design_matrices(
                     f"Column {v!r} not found in data (available: {list(df.columns)})"
                 )
         a, b = df_train[v], df_test[v]
-        if pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b):
-            cols_train.append(a.to_numpy(dtype=float))
-            cols_test.append(b.to_numpy(dtype=float))
+        an = pd.to_numeric(a, errors="coerce")
+        bn = pd.to_numeric(b, errors="coerce")
+        if (an.isna() == a.isna()).all() and (bn.isna() == b.isna()).all():
+            # both sides numeric-valued (possibly one as strings, e.g. a CSV
+            # parsed as object): compare numerically — stringifying would
+            # give '1' vs '1.0' and silently never match Cat levels
+            cols_train.append(an.to_numpy(dtype=float))
+            cols_test.append(bn.to_numpy(dtype=float))
         else:
             codes, _ = pd.factorize(pd.concat([a.astype(str), b.astype(str)],
                                               ignore_index=True))

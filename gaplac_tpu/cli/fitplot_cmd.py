@@ -67,14 +67,24 @@ def run(args) -> None:
 
     params = ck.default_params(dtype)
     if args.mcmc:
+        # same chain->slot-group reconstruction as predict/sample --mcmc
+        from gaplac_tpu.cli.common import default_slot_groups
         from gaplac_tpu.cli.predict_cmd import _hyper_draws
+        from gaplac_tpu.inference.model import slot_groups_for
 
-        draws = _hyper_draws(args.mcmc, n_hyper=1)
-        theta = float(np.mean(draws[:, 0]))
-        slots = tuple(i for i, k in enumerate(ck.kinds) if ck.leaf_vars[i] and k in (0, 1))
-        if slots:
-            params = params.at[jnp.asarray(slots)].set(theta)
-        log.info("using chain posterior-mean hyperparameter %.3f", theta)
+        shared = getattr(args, "infer_mode", "shared") == "shared"
+        if getattr(args, "infer", None):
+            slot_groups = slot_groups_for(ck, args.infer, shared=shared)
+        else:
+            slot_groups = default_slot_groups(ck)
+        means = _hyper_draws(args.mcmc, n_hyper=len(slot_groups)).mean(axis=0)
+        for g, slots in enumerate(slot_groups):
+            if slots:
+                params = params.at[jnp.asarray(slots)].set(float(means[g]))
+        log.info(
+            "using chain posterior-mean hyperparameters %s",
+            ", ".join(f"{m:.3f}" for m in means),
+        )
 
     sigma2 = gaussian_obs_sigma2(spec.likelihood)
     if sigma2 is None:  # non-Gaussian: use unit obs noise for the decomposition
@@ -113,8 +123,11 @@ def run(args) -> None:
     for ax_row, (t, mu_t, sd_t) in zip(axes, panels):
         ax = ax_row[0]
         lead = next((ck.leaf_vars[li] for li in ck.terms[t] if ck.leaf_vars[li]), None)
-        if lead is not None:
-            xs = np.asarray(df[lead].values, float) if lead in df.columns else np.arange(n)
+        if lead is not None and lead in df.columns:
+            # factorizes string categoricals like the design matrix does
+            from gaplac_tpu.cli.common import column_values
+
+            xs = column_values(df, lead)
         else:
             xs = np.arange(n, dtype=float)
         order = np.argsort(xs)

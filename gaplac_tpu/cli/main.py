@@ -149,6 +149,12 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("formula", help="GP formula specification")
     pf.add_argument("-i", "--data", required=True, help="Training data table")
     pf.add_argument("-m", "--mcmc", help="MCMC chain table (optional)")
+    pf.add_argument("--infer", nargs="+",
+                    help="Variables the chain's hyperparameters were inferred "
+                         "for (must match the mcmc run; default: one shared "
+                         "lengthscale over all lengthscale-kind leaves)")
+    pf.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
+                    help="Hyperparameter grouping used by the mcmc run")
     pf.add_argument("--component", "--comp", dest="component",
                     help="Only plot components involving these ;-separated variables")
     pf.add_argument("-o", "--output", default="fitplots.png", help="Output image file")

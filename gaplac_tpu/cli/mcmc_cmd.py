@@ -112,6 +112,13 @@ def run(args) -> None:
     num_samples = args.samples
     num_warmup = args.warmup if args.warmup is not None else max(num_samples, 200)
     n_chains = args.chains
+    if args.burnin and args.burnin >= num_samples:
+        # fail BEFORE sampling: an empty kept-draw slice gives NaN summaries
+        # (or an IndexError at checkpoint time) after the whole run
+        raise ValueError(
+            f"--burnin ({args.burnin}) must be smaller than --samples "
+            f"({num_samples}); no draws would remain"
+        )
 
     key = jax.random.key(args.seed)
     k_init, k_run, k_report = jax.random.split(key, 3)

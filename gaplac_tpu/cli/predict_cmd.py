@@ -154,6 +154,11 @@ def run(args) -> None:
     if args.plot:
         from gaplac_tpu.viz.plots import predict_plot
 
+        if not ck.varnames:
+            raise ValueError(
+                "--plot needs a formula with at least one variable "
+                "(bare Noise/Constant has no x-axis)"
+            )
         xvar = ck.varnames[0]
         fig = predict_plot(
             tdf[xvar].values, ymu, q05, q95,

@@ -250,6 +250,22 @@ def self_is_kw(p: _Parser) -> bool:
     return nxt is not None and nxt.text == "="
 
 
+# per-kernel positional arity (excess positionals used to be silently dropped)
+_MAX_POSITIONAL = {
+    "sqexp": 1, "ou": 1, "matern32": 1, "matern52": 1, "linear": 1, "cat": 0,
+    "periodic": 2, "rq": 2, "rationalquadratic": 2, "noise": 1,
+    "constant": 1, "const": 1,
+}
+# keyword aliases that must not BOTH be supplied (the alias used to be
+# silently popped and discarded)
+_KW_ALIASES = {
+    "periodic": (("p", "period"),),
+    "rq": (("alpha", "a"),),
+    "rationalquadratic": (("alpha", "a"),),
+    "noise": (("s2", "s"),),
+}
+
+
 def _make_leaf(name: str, varname: Optional[str], kwargs: dict, pos: List[float]) -> Leaf:
     lname = name.lower()
     if kwargs and pos:
@@ -260,6 +276,16 @@ def _make_leaf(name: str, varname: Optional[str], kwargs: dict, pos: List[float]
             f"{name}: mixing keyword and positional parameters is ambiguous; "
             f"use keywords for all of them"
         )
+    max_pos = _MAX_POSITIONAL.get(lname)
+    if max_pos is not None and len(pos) > max_pos:
+        raise FormulaError(
+            f"{name} takes at most {max_pos} positional parameter(s), got {len(pos)}"
+        )
+    for a, b in _KW_ALIASES.get(lname, ()):
+        if a in kwargs and b in kwargs:
+            raise FormulaError(
+                f"{name}: {a!r} and {b!r} are aliases — supply only one"
+            )
     if lname == "sqexp":
         if varname is None:
             raise FormulaError("SqExp requires a variable, e.g. SqExp(:x)")

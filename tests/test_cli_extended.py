@@ -297,3 +297,44 @@ def test_extended_kernel_mcmc_predict_no_infer(tmp_path):
     pred = pd.read_csv(out, sep="\t")
     assert np.isfinite(pred["ymu"]).all()
     assert (pred["yQ050"] <= pred["yQ950"]).all()
+
+
+def test_fitplot_extended_kernel_chain_and_string_cat(tmp_path):
+    """fitplot --mcmc must apply chain hyperparameters to extended kernels
+    (it hardcoded SqExp/OU kinds) and must factorize string categorical
+    x-axes instead of crashing on float conversion."""
+    rng = np.random.default_rng(5)
+    n = 24
+    t = rng.uniform(0, 8, n)
+    person = np.repeat(["a", "b", "c"], n // 3)
+    y = np.sin(t) + rng.normal(0, 0.3, n)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"t": t, "person": person, "y": y}).to_csv(data, sep="\t", index=False)
+    chain = tmp_path / "c.tsv"
+    formula = "y ~| Matern52(:t) + Cat(:person)"
+    rc = main([
+        "--platform", "cpu", "mcmc", formula, "--data", str(data),
+        "--infer", "t", "--samples", "15", "--warmup", "40", "--output", str(chain),
+    ])
+    assert rc == 0
+    out = tmp_path / "f.png"
+    rc = main([
+        "--platform", "cpu", "fitplot", formula, "--data", str(data),
+        "--mcmc", str(chain), "--output", str(out),
+    ])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_mcmc_burnin_exceeds_samples_rejected(tmp_path):
+    rng = np.random.default_rng(0)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": rng.uniform(-3, 3, 15), "y": rng.normal(size=15)}).to_csv(
+        data, sep="\t", index=False
+    )
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "10", "--burnin", "10",
+        "--output", str(tmp_path / "c.tsv"),
+    ])
+    assert rc != 0  # clean error, not a post-run crash

@@ -142,3 +142,22 @@ def test_static_param_validation_and_no_kw_pos_mix():
     assert k.l == 1.5 and k.alpha == 3.0
     k = parse_kernel_expr("SqExp(:x; 2.5)")
     assert k.l == 2.5
+
+
+def test_excess_positionals_and_alias_conflicts_rejected():
+    """Excess positional params and conflicting keyword aliases must raise
+    (both used to be silently discarded)."""
+    for bad in (
+        "Linear(:x, 5, 99)",
+        "Cat(:g, 3)",
+        "Periodic(:t, 1, 2, 7)",
+        "SqExp(:x, 1, 2)",
+        "Periodic(:t; p=2, period=3)",
+        "RQ(:x; alpha=1, a=9)",
+        "Noise(s2=4, s=9)",
+    ):
+        with pytest.raises(FormulaError):
+            parse_kernel_expr(bad)
+    # single-spelling forms still parse
+    assert parse_kernel_expr("Periodic(:t; period=3)").p == 3.0
+    assert parse_kernel_expr("RQ(:x; a=1.5)").alpha == 1.5
