@@ -90,9 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "a host callback, which can stall a remote TPU tunnel)")
     pm.add_argument("--check-numerics", action="store_true",
                     help="Enable jax NaN/Inf debugging (jax_debug_nans)")
-    pm.add_argument("--approx", choices=["none", "laplace"], default="none",
+    pm.add_argument("--approx", choices=["none", "laplace", "rff"], default="none",
                     help="laplace: integrate non-Gaussian latents out with a "
-                    "Laplace approximation (fast path; legacy laplace_approx)")
+                    "Laplace approximation (fast path; legacy laplace_approx). "
+                    "rff: low-rank feature-space marginal (random Fourier + "
+                    "exact features; O(n m^2) — the large-n path)")
+    pm.add_argument("--rff-features", type=int, default=256, metavar="M",
+                    help="Features per stationary kernel leaf with --approx rff")
+    pm.add_argument("--rff-seed", type=int, default=0,
+                    help="Feature-frequency PRNG seed with --approx rff")
     pm.add_argument("--vi-steps", type=int, default=2000,
                     help="ADVI optimization steps (with --sampler advi)")
     pm.add_argument("--burnin", type=int, default=0,
@@ -120,6 +126,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="With --estimator smc: variables whose hyperparameter to "
                     "integrate over (default: all lengthscale-kind leaves)")
     pl.add_argument("--particles", type=int, default=512, help="SMC particle count")
+    pl.add_argument("--approx", choices=["none", "rff"], default="none",
+                    help="rff: evaluate --formulae logpdfs (and the SMC target) "
+                    "through the low-rank feature path — the large-n mode")
+    pl.add_argument("--rff-features", type=int, default=256, metavar="M",
+                    help="Features per stationary kernel leaf with --approx rff")
+    pl.add_argument("--rff-seed", type=int, default=0)
     pl.add_argument("--seed", type=int, default=0)
     pl.add_argument("--jitter", type=float, default=0.1)
 

@@ -90,6 +90,7 @@ def run(args) -> None:
             spec.likelihood, aux=aux, jitter=args.jitter, prior_bounds=prior_bounds,
         )
     else:
+        approx = getattr(args, "approx", "none")
         model = build_model(
             ck,
             inferable,
@@ -101,6 +102,9 @@ def run(args) -> None:
             prior_bounds=prior_bounds,
             shared_hyper=shared,
             marginalize=not args.no_marginalize,
+            approx="rff" if approx == "rff" else "exact",
+            rff_features=getattr(args, "rff_features", 256),
+            rff_seed=getattr(args, "rff_seed", 0),
         )
     log.info(
         "model: %s, NUTS dim %d, n=%d obs",

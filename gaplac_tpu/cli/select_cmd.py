@@ -95,6 +95,8 @@ def run(args) -> None:
             ck = compile_formula(spec.formula)
             y = jnp.asarray(response_vector(df, spec), dtype)
             X = jnp.asarray(design_matrix(df, ck), dtype)
+            if getattr(args, "approx", "none") == "rff":
+                return _lowrank_fixed_lp(args, ck, X, y)
             K = ck.gram(ck.default_params(dtype), X)
             return float(mvn.mvn_logpdf(K, y, jitter=args.jitter))
 
@@ -118,6 +120,24 @@ def run(args) -> None:
     log.info("\n%s", report)
     print(report)
     return bayes
+
+
+def _lowrank_fixed_lp(args, ck, X, y) -> float:
+    """Fixed-hyperparameter logpdf through the low-rank feature path
+    (--approx rff): log N(y; 0, Phi Phi^T + (jitter + bare-noise) I) — the
+    O(n m^2) large-n analogue of select.jl:49-50's dense logpdf."""
+    from gaplac_tpu.kernels.features import build_feature_map
+    from gaplac_tpu.ops import lowrank
+
+    fm = build_feature_map(
+        ck, [np.asarray(X)],
+        num_features=getattr(args, "rff_features", 256),
+        seed=getattr(args, "rff_seed", 0),
+    )
+    p = ck.default_params(X.dtype)
+    phi = fm.phi(p, X)
+    d = fm.noise_diag(p, X) + args.jitter
+    return float(lowrank.lowrank_logpdf(phi, d, y))
 
 
 def _smc_evidence(args, spec, df, dtype) -> float:
@@ -150,7 +170,12 @@ def _smc_evidence(args, spec, df, dtype) -> float:
         log.info("SMC: %s has no inferable hyperparameter; fixed logpdf %.4f",
                  spec.formula, lp)
         return lp
-    model = build_model(ck, inferable, X, y, spec.likelihood, jitter=args.jitter)
+    model = build_model(
+        ck, inferable, X, y, spec.likelihood, jitter=args.jitter,
+        approx="rff" if getattr(args, "approx", "none") == "rff" else "exact",
+        rff_features=getattr(args, "rff_features", 256),
+        rff_seed=getattr(args, "rff_seed", 0),
+    )
     res = smc_log_evidence_gp(
         _jax.random.key(args.seed), model, n_particles=args.particles
     )

@@ -155,6 +155,76 @@ def build_gaussian_marginal(
                    position_from)
 
 
+def build_gaussian_marginal_lowrank(
+    ck: CompiledKernel,
+    slot_groups: Tuple[Tuple[int, ...], ...],
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    num_features: int = 256,
+    feature_seed: int = 0,
+    jitter: float = mvn.DEFAULT_JITTER,
+    obs_sigma2: float = 1.0,
+    prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
+) -> GPModel:
+    """Low-rank collapsed model: θ -> log N(y; 0, Φ(θ)Φ(θ)^T + D(θ)).
+
+    The large-n scaling path (--approx rff): the gram never materializes —
+    Φ is the (n, m) feature matrix of kernels/features.py (random Fourier
+    features for stationary leaves, exact features for finite-rank leaves)
+    and all algebra is the O(n m^2) Woodbury of ops/lowrank.py.  Same prior/
+    jitter/σ² semantics as ``build_gaussian_marginal``; the posterior is over
+    the SAME hyperparameters, approximated by the feature expansion (exact
+    for finite-rank formulas).
+    """
+    import numpy as _np
+
+    from gaplac_tpu.kernels.features import build_feature_map
+    from gaplac_tpu.ops import lowrank
+
+    tr = Interval(*prior_bounds)
+    nh = len(slot_groups)
+    n = y.shape[0]
+    dtype = X.dtype
+    params_from = _params_from(ck, slot_groups, dtype)
+    fm = build_feature_map(ck, [_np.asarray(X)], num_features=num_features,
+                           seed=feature_seed)
+
+    def _phi_d0(theta):
+        """Features + the latent prior diagonal d0 = jitter + bare-Noise."""
+        p = params_from(theta)
+        return fm.phi(p, X), jitter + fm.noise_diag(p, X)
+
+    def logdensity(u: jnp.ndarray) -> jnp.ndarray:
+        theta = tr.forward(u)
+        phi, d0 = _phi_d0(theta)
+        return (
+            lowrank.lowrank_logpdf(phi, d0 + obs_sigma2, y)
+            + jnp.sum(tr.uniform_logprior(u))
+        )
+
+    def report(key: jax.Array, u: jnp.ndarray):
+        """Exact f ~ p(f | θ, y) via Matheron pathwise conditioning, and the
+        reference-schema joint lp (all O(n m^2); mirrors the dense report)."""
+        theta = tr.forward(u)
+        phi, d0 = _phi_d0(theta)
+        f = lowrank.lowrank_conditional_sample(key, phi, d0, obs_sigma2, y)
+        lp = (
+            jnp.sum(tr.constrained_logprior(theta))
+            + lowrank.lowrank_logpdf(phi, d0, f)
+            + jnp.sum(-0.5 * ((y - f) ** 2 / obs_sigma2 + jnp.log(obs_sigma2) + _LOG_2PI))
+        )
+        return theta, f, lp
+
+    def initial_position(key: jax.Array) -> jnp.ndarray:
+        return jax.random.uniform(key, (nh,), dtype, -2.0, 2.0)
+
+    def position_from(theta: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+        return tr.inverse(jnp.asarray(theta, dtype))
+
+    return GPModel(nh, nh, logdensity, report, tr.forward, initial_position, True,
+                   position_from)
+
+
 def build_latent_whitened(
     ck: CompiledKernel,
     slot_groups: Tuple[Tuple[int, ...], ...],
@@ -232,11 +302,25 @@ def build_model(
     prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
     shared_hyper: bool = True,
     marginalize: bool = True,
+    approx: str = "exact",
+    rff_features: int = 256,
+    rff_seed: int = 0,
 ) -> GPModel:
     """Pick the marginalized path for Gaussian likelihoods (default), the
-    whitened latent path otherwise."""
+    whitened latent path otherwise.  ``approx="rff"`` selects the low-rank
+    feature-space marginal (Gaussian likelihoods only)."""
     groups = slot_groups_for(ck, inferable, shared=shared_hyper)
     sigma2 = gaussian_obs_sigma2(likelihood)
+    if approx == "rff":
+        if sigma2 is None:
+            raise ValueError(
+                "--approx rff requires a Gaussian likelihood (the low-rank "
+                "path marginalizes the latents analytically)"
+            )
+        return build_gaussian_marginal_lowrank(
+            ck, groups, X, y, num_features=rff_features, feature_seed=rff_seed,
+            jitter=jitter, obs_sigma2=sigma2, prior_bounds=prior_bounds,
+        )
     if marginalize and sigma2 is not None:
         return build_gaussian_marginal(
             ck, groups, X, y, jitter=jitter, obs_sigma2=sigma2, prior_bounds=prior_bounds

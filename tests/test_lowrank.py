@@ -195,3 +195,100 @@ def test_conditional_sample_moments():
     draws = np.asarray(draws)
     assert np.abs(draws.mean(0) - mean_true).max() < 0.12
     assert np.abs(np.cov(draws.T) - cov_true).max() < 0.2
+
+
+# --- model + CLI integration ------------------------------------------------
+
+def test_lowrank_marginal_model_matches_dense_on_finite_rank():
+    """On a finite-rank formula the low-rank marginal logdensity equals the
+    dense marginal logdensity at every theta (features are exact)."""
+    from gaplac_tpu.inference.model import (
+        build_gaussian_marginal,
+        build_gaussian_marginal_lowrank,
+        slot_groups_for,
+    )
+
+    ck = _compiled("Linear(:x) + Cat(:g) + Noise(s2=0.4)")
+    X = jnp.asarray(_data(ck, 35, seed=9))
+    y = jnp.asarray(np.random.default_rng(10).standard_normal(35))
+    groups = slot_groups_for(ck, ["x"])
+    dense = build_gaussian_marginal(ck, groups, X, y)
+    lr = build_gaussian_marginal_lowrank(ck, groups, X, y, num_features=16)
+    assert dense.dim == lr.dim == 1
+    for u in [-1.5, 0.0, 0.7, 2.0]:
+        uu = jnp.asarray([u], X.dtype)
+        np.testing.assert_allclose(
+            float(lr.logdensity(uu)), float(dense.logdensity(uu)), rtol=1e-8
+        )
+    # report: theta identical, f a valid conditional draw, lp finite
+    th_d, _, _ = dense.report(jax.random.key(0), jnp.asarray([0.3], X.dtype))
+    th_l, f_l, lp_l = lr.report(jax.random.key(0), jnp.asarray([0.3], X.dtype))
+    np.testing.assert_allclose(np.asarray(th_l), np.asarray(th_d), rtol=1e-12)
+    assert np.isfinite(np.asarray(f_l)).all() and np.isfinite(float(lp_l))
+
+
+def test_cli_mcmc_rff_recovers_lengthscale(tmp_path):
+    """mcmc --approx rff on guide-style data: posterior l within MC error of
+    the exact path's ~1.5 (BASELINE.md oracle, loosened for the m=384
+    feature approximation)."""
+    from gaplac_tpu.cli.main import main
+
+    data = tmp_path / "d.tsv"
+    rc = main([
+        "--platform", "cpu", "sample", "y :~| SqExp(:x; l=1.5)",
+        "--at", "x = rand(Uniform(-5,5), 50)", "--seed", "3",
+        "--output", str(data),
+    ])
+    assert rc == 0
+    chain = tmp_path / "chain.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "150", "--warmup", "150",
+        "--approx", "rff", "--rff-features", "384",
+        "--seed", "0", "--output", str(chain),
+    ])
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_csv(chain, sep="\t")
+    post_mean = df["ℓ"].mean()
+    assert 0.7 < post_mean < 3.0, f"posterior mean l = {post_mean}"
+    assert np.isfinite(df["lp"]).all()
+
+
+def test_cli_select_formulae_rff_matches_dense(tmp_path):
+    """select --formulae --approx rff reproduces the dense Bayes factor on a
+    finite-rank pair exactly, and tracks it for RFF formulas."""
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(4)
+    data = tmp_path / "d.tsv"
+    import pandas as pd
+
+    pd.DataFrame({
+        "x": rng.uniform(-3, 3, 60), "g": rng.integers(0, 3, 60).astype(float),
+        "y": rng.standard_normal(60),
+    }).to_csv(data, sep="\t", index=False)
+
+    import gaplac_tpu.cli.select_cmd as sc
+
+    f1, f2 = "y ~| Linear(:x) + Cat(:g)", "y ~| Cat(:g)"
+    args_dense = ["--platform", "cpu", "select", "--formulae", f1, f2,
+                  "--data", str(data)]
+    args_rff = args_dense + ["--approx", "rff", "--rff-features", "8"]
+    from gaplac_tpu.cli.main import build_parser, main as _main
+
+    bayes_dense = _run_select(args_dense)
+    bayes_rff = _run_select(args_rff)
+    np.testing.assert_allclose(bayes_rff, bayes_dense, rtol=1e-6)
+
+
+def _run_select(argv):
+    """Invoke the select command in-process and return its Bayes factor."""
+    from gaplac_tpu.cli import select_cmd
+    from gaplac_tpu.cli.main import build_parser
+    from gaplac_tpu.cli.runtime import configure_runtime
+
+    args = build_parser().parse_args(argv)
+    configure_runtime(args)
+    return select_cmd.run(args)
