@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--plot", help="File to plot to")
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--jitter", type=float, default=0.1)
+    pp.add_argument("--approx", choices=["none", "rff"], default="none",
+                    help="rff: weight-space predictive equations through the "
+                    "low-rank feature path (O(n m^2) — the large-n mode)")
+    pp.add_argument("--rff-features", type=int, default=256, metavar="M",
+                    help="Features per stationary kernel leaf with --approx rff")
+    pp.add_argument("--rff-seed", type=int, default=0)
     _add_outlier_flags(pp)
 
     # -- fitplot (registered-but-unimplemented in ref; legacy contract

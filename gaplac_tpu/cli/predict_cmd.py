@@ -120,18 +120,50 @@ def run(args) -> None:
         thetas = np.zeros((1, 0))
         slot_groups = ()
 
-    def predict_one(theta):
+    def _params(theta):
         p = ck.default_params(dtype)
         for g, slots in enumerate(slot_groups):
             p = p.at[jnp.asarray(slots)].set(theta[g])
-        K_xx = ck.gram(p, X)
-        K_tx = ck.gram(p, Xt, X)
-        k_tt = ck.gram_diag(p, Xt) + args.jitter
-        post = mvn.gp_posterior_cache(K_xx + args.jitter * jnp.eye(X.shape[0], dtype=dtype),
-                                      y, sigma2)
-        mu = mvn.gp_predict_mean(post, K_tx)
-        var = mvn.gp_predict_var(post, K_tx, k_tt)
-        return mu, jnp.maximum(var, 1e-12)
+        return p
+
+    if getattr(args, "approx", "none") == "rff":
+        # large-n path: weight-space posterior through the feature map —
+        # O(n m^2) instead of the dense O(n^3); exact for finite-rank
+        # formulas, RFF-approximate for stationary leaves.  Vocabularies are
+        # collected over BOTH tables so Cat codes stay consistent.
+        from gaplac_tpu.kernels.features import build_feature_map
+        from gaplac_tpu.ops import lowrank
+
+        fm = build_feature_map(
+            ck, [X_np, Xt_np],
+            num_features=getattr(args, "rff_features", 256),
+            seed=getattr(args, "rff_seed", 0),
+        )
+
+        def predict_one(theta):
+            p = _params(theta)
+            phi = fm.phi(p, X)
+            d0 = fm.noise_diag(p, X) + args.jitter
+            post = lowrank.lowrank_posterior(phi, d0 + sigma2, y)
+            phi_t = fm.phi(p, Xt)
+            mu = lowrank.lowrank_predict_mean(post, phi_t)
+            var = lowrank.lowrank_predict_var(
+                post, phi_t, fm.noise_diag(p, Xt) + args.jitter
+            )
+            return mu, jnp.maximum(var, 1e-12)
+    else:
+
+        def predict_one(theta):
+            p = _params(theta)
+            K_xx = ck.gram(p, X)
+            K_tx = ck.gram(p, Xt, X)
+            k_tt = ck.gram_diag(p, Xt) + args.jitter
+            post = mvn.gp_posterior_cache(
+                K_xx + args.jitter * jnp.eye(X.shape[0], dtype=dtype), y, sigma2
+            )
+            mu = mvn.gp_predict_mean(post, K_tx)
+            var = mvn.gp_predict_var(post, K_tx, k_tt)
+            return mu, jnp.maximum(var, 1e-12)
 
     # lax.map keeps peak memory at one draw's O(n^2) buffers (a vmap would
     # batch every draw's Gram + Cholesky simultaneously) while still paying

@@ -228,9 +228,13 @@ def test_lowrank_marginal_model_matches_dense_on_finite_rank():
 
 
 def test_cli_mcmc_rff_recovers_lengthscale(tmp_path):
-    """mcmc --approx rff on guide-style data: posterior l within MC error of
-    the exact path's ~1.5 (BASELINE.md oracle, loosened for the m=384
-    feature approximation)."""
+    """mcmc --approx rff: the NUTS posterior over l matches the QUADRATURE
+    posterior of the same low-rank marginal within MC error (the guide data
+    at n=50 / sigma=1 has a flat marginal in l, so the oracle is quadrature
+    on this data, not the asymptotic ~1.5 — same convention as
+    test_posterior_exact.py)."""
+    import pandas as pd
+
     from gaplac_tpu.cli.main import main
 
     data = tmp_path / "d.tsv"
@@ -248,12 +252,34 @@ def test_cli_mcmc_rff_recovers_lengthscale(tmp_path):
         "--seed", "0", "--output", str(chain),
     ])
     assert rc == 0
-    import pandas as pd
-
     df = pd.read_csv(chain, sep="\t")
-    post_mean = df["ℓ"].mean()
-    assert 0.7 < post_mean < 3.0, f"posterior mean l = {post_mean}"
     assert np.isfinite(df["lp"]).all()
+
+    # quadrature oracle: p(l | y) ∝ N(y; 0, Phi_l Phi_l^T + (jitter+sigma2) I)
+    # under the flat Uniform(0,20) prior, with the SAME feature map the CLI
+    # built (seed 0, m=384)
+    tab = pd.read_csv(data, sep="\t")
+    X = jnp.asarray(tab[["x"]].to_numpy())
+    y = jnp.asarray(tab["y"].to_numpy())
+    ck = _compiled("SqExp(:x)")
+    fm = build_feature_map(ck, [np.asarray(X)], num_features=384, seed=0)
+    grid = np.linspace(0.02, 19.98, 500)
+    lls = np.array([
+        float(lowrank.lowrank_logpdf(
+            fm.phi(ck.default_params(X.dtype).at[0].set(l), X), 0.1 + 1.0, y
+        ))
+        for l in grid
+    ])
+    w = np.exp(lls - lls.max())
+    quad_mean = float((grid * w).sum() / w.sum())
+    quad_sd = float(np.sqrt((grid**2 * w).sum() / w.sum() - quad_mean**2))
+
+    post_mean = df["ℓ"].mean()
+    # MC error with ESS >~ 50: allow ~4 standard errors
+    assert abs(post_mean - quad_mean) < 4 * quad_sd / np.sqrt(50), (
+        f"NUTS mean {post_mean:.3f} vs quadrature {quad_mean:.3f} "
+        f"(sd {quad_sd:.3f})"
+    )
 
 
 def test_cli_select_formulae_rff_matches_dense(tmp_path):
@@ -270,13 +296,10 @@ def test_cli_select_formulae_rff_matches_dense(tmp_path):
         "y": rng.standard_normal(60),
     }).to_csv(data, sep="\t", index=False)
 
-    import gaplac_tpu.cli.select_cmd as sc
-
     f1, f2 = "y ~| Linear(:x) + Cat(:g)", "y ~| Cat(:g)"
     args_dense = ["--platform", "cpu", "select", "--formulae", f1, f2,
                   "--data", str(data)]
     args_rff = args_dense + ["--approx", "rff", "--rff-features", "8"]
-    from gaplac_tpu.cli.main import build_parser, main as _main
 
     bayes_dense = _run_select(args_dense)
     bayes_rff = _run_select(args_rff)
@@ -287,8 +310,40 @@ def _run_select(argv):
     """Invoke the select command in-process and return its Bayes factor."""
     from gaplac_tpu.cli import select_cmd
     from gaplac_tpu.cli.main import build_parser
-    from gaplac_tpu.cli.runtime import configure_runtime
+    from gaplac_tpu.cli.runtime import configure
 
     args = build_parser().parse_args(argv)
-    configure_runtime(args)
+    configure(args.platform, args.precision)
     return select_cmd.run(args)
+
+
+def test_cli_predict_rff_matches_dense_on_finite_rank(tmp_path):
+    """predict --approx rff reproduces the dense ymu/yQ ribbons exactly on a
+    finite-rank formula (the feature expansion is exact there)."""
+    import pandas as pd
+
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(7)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({
+        "x": rng.uniform(-3, 3, 50), "g": rng.integers(0, 3, 50).astype(float),
+        "y": rng.standard_normal(50),
+    }).to_csv(data, sep="\t", index=False)
+
+    outs = {}
+    for mode, extra in [("dense", []), ("rff", ["--approx", "rff",
+                                                "--rff-features", "8"])]:
+        out = tmp_path / f"p_{mode}.tsv"
+        rc = main([
+            "--platform", "cpu", "predict", "y ~| Linear(:x) + Cat(:g)",
+            "--data", str(data), "--at", "x=-4:0.5:4; g=0:1:2",
+            "--output", str(out), *extra,
+        ])
+        assert rc == 0
+        outs[mode] = pd.read_csv(out, sep="\t")
+
+    for col in ("ymu", "yQ050", "yQ950"):
+        np.testing.assert_allclose(
+            outs["rff"][col], outs["dense"][col], rtol=1e-6, atol=1e-8
+        )
