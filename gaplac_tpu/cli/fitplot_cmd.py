@@ -51,6 +51,47 @@ def term_label(ck: CompiledKernel, term_idx: int) -> str:
     return " * ".join(parts)
 
 
+def _lowrank_component_stats(args, ck, params, X, y, noise):
+    """Per-component posterior through the feature path (--approx rff).
+
+    With K = Phi Phi^T + diag(noise_diag) and S = K + noise I, component t is
+    either a feature block s (K_t = Phi_s Phi_s^T) or a bare-Noise diag term
+    (K_t = diag(d_t)); mu_t = K_t S^-1 y and var_t = diag(K_t - K_t S^-1 K_t)
+    reduce to O(n m |s|) matmuls via the Woodbury factorization — no n x n
+    matrix is formed (the large-n fitplot mode)."""
+    import numpy as _np
+
+    from gaplac_tpu.kernels.features import build_feature_map
+    from gaplac_tpu.ops import lowrank
+
+    fm = build_feature_map(
+        ck, [_np.asarray(X)],
+        num_features=getattr(args, "rff_features", 256),
+        seed=getattr(args, "rff_seed", 0),
+    )
+    phi = fm.phi(params, X)
+    D = noise + fm.noise_diag(params, X)
+    lr = lowrank.lowrank_chol(phi, D)
+    alpha = lowrank.lowrank_solve(lr, y)  # S^-1 y
+
+    def component_stats(t):
+        sl = fm.term_slices[t]
+        if sl is None:  # bare-Noise product term: K_t = diag(d_t)
+            d_t = fm.term_diag(params, X, ck.terms[t])
+            # diag(S^-1) = 1/D - rowsum(U^2), U = (D^-1 Phi) R^-T
+            U = linalg.solve_triangular(lr.R, lr.phi_over_d.T, lower=True).T
+            s_inv_diag = 1.0 / lr.d - jnp.sum(U * U, axis=1)
+            return d_t * alpha, d_t - d_t * d_t * s_inv_diag
+        phi_s = phi[:, sl[0]:sl[1]]
+        mu_t = phi_s @ (phi_s.T @ alpha)
+        # var_t = diag(K_t) - diag(K_t S^-1 K_t), K_t = Phi_s Phi_s^T
+        B = phi_s.T @ lowrank.lowrank_solve(lr, phi_s)  # (|s|, |s|)
+        var_t = jnp.sum(phi_s * phi_s, axis=1) - jnp.sum((phi_s @ B) * phi_s, axis=1)
+        return mu_t, var_t
+
+    return component_stats
+
+
 def run(args) -> None:
     log.info("running 'fitplot'")
     spec = parse_formula(args.formula)
@@ -90,10 +131,22 @@ def run(args) -> None:
     if sigma2 is None:  # non-Gaussian: use unit obs noise for the decomposition
         sigma2 = 1.0
     noise = args.jitter + sigma2
-    S = ck.gram(params, X) + noise * jnp.eye(n, dtype=dtype)
-    L = linalg.cholesky(S)
-    a = linalg.solve_triangular(L, y, lower=True)
-    alpha = linalg.solve_triangular(L.T, a, lower=False)
+
+    if getattr(args, "approx", "none") == "rff":
+        component_stats = _lowrank_component_stats(args, ck, params, X, y, noise)
+    else:
+        S = ck.gram(params, X) + noise * jnp.eye(n, dtype=dtype)
+        L = linalg.cholesky(S)
+        a = linalg.solve_triangular(L, y, lower=True)
+        alpha = linalg.solve_triangular(L.T, a, lower=False)
+
+        def component_stats(t):
+            """(posterior mean, sd) of additive component t at the inputs."""
+            Kt = term_gram(ck, t, params, X)
+            mu_t = Kt @ alpha
+            V = linalg.solve_triangular(L, Kt, lower=True)
+            var_t = jnp.diag(Kt) - jnp.sum(V * V, axis=0)
+            return mu_t, var_t
 
     wanted = None
     if args.component:
@@ -109,10 +162,7 @@ def run(args) -> None:
         term_vars = {ck.leaf_vars[li] for li in ck.terms[t] if ck.leaf_vars[li]}
         if wanted is not None and not (term_vars & wanted):
             continue
-        Kt = term_gram(ck, t, params, X)
-        mu_t = Kt @ alpha
-        V = linalg.solve_triangular(L, Kt, lower=True)
-        var_t = jnp.diag(Kt) - jnp.sum(V * V, axis=0)
+        mu_t, var_t = component_stats(t)
         panels.append((t, np.asarray(mu_t), np.sqrt(np.maximum(np.asarray(var_t), 0.0))))
 
     if not panels:

@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-o", "--output", help="Table output - '.csv', '.tsv', or 'stdout'")
     ps.add_argument("--seed", type=int, default=None, help="PRNG seed")
     ps.add_argument("--jitter", type=float, default=0.1, help="Latent GP noise floor")
+    ps.add_argument("--approx", choices=["none", "rff"], default="none",
+                    help="rff: prior/posterior draws through the low-rank "
+                    "feature path (O(n m) Matheron — the large-n mode)")
+    ps.add_argument("--rff-features", type=int, default=256, metavar="M",
+                    help="Features per stationary kernel leaf with --approx rff")
+    ps.add_argument("--rff-seed", type=int, default=0)
     _add_outlier_flags(ps)
 
     # -- mcmc (ref: CLI/src/main.jl:48-77) ---------------------------------
@@ -99,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Features per stationary kernel leaf with --approx rff")
     pm.add_argument("--rff-seed", type=int, default=0,
                     help="Feature-frequency PRNG seed with --approx rff")
+    pm.add_argument("--no-latents", action="store_true",
+                    help="Omit the fx[i] latent columns from the chain table "
+                    "(keeps lp; essential at large n where n columns are "
+                    "impractical)")
     pm.add_argument("--vi-steps", type=int, default=2000,
                     help="ADVI optimization steps (with --sampler advi)")
     pm.add_argument("--burnin", type=int, default=0,
@@ -178,6 +188,12 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("-o", "--output", default="fitplots.png", help="Output image file")
     pf.add_argument("--seed", type=int, default=0)
     pf.add_argument("--jitter", type=float, default=0.1)
+    pf.add_argument("--approx", choices=["none", "rff"], default="none",
+                    help="rff: per-component decomposition through the "
+                    "low-rank feature path (the large-n mode)")
+    pf.add_argument("--rff-features", type=int, default=256, metavar="M",
+                    help="Features per stationary kernel leaf with --approx rff")
+    pf.add_argument("--rff-seed", type=int, default=0)
     _add_outlier_flags(pf)
 
     return p

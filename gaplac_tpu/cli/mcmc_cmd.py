@@ -257,8 +257,9 @@ def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None,
         }
         for g in range(1, model.n_hyper):
             cols[f"{HYPER_COL}_{g+1}"] = thetas[c, :, g]
-        for i in range(n_obs):
-            cols[f"fx[{i+1}]"] = fs[c, :, i]
+        if not getattr(args, "no_latents", False):
+            for i in range(n_obs):
+                cols[f"fx[{i+1}]"] = fs[c, :, i]
         cols["lp"] = lps[c]
         if accepts is not None:
             cols["acceptance_rate"] = accepts[c]

@@ -55,6 +55,15 @@ def run(args) -> None:
 
     if getattr(args, "data", None):
         y = _sample_posterior(args, spec, ck, df, params, key, dtype, jitter)
+    elif getattr(args, "approx", "none") == "rff":
+        # large-n prior draw: f = Phi w + sqrt(jitter + noise) eta, O(n m)
+        from gaplac_tpu.cli.common import design_matrix
+        from gaplac_tpu.ops import lowrank
+
+        X = jnp.asarray(design_matrix(df, ck), dtype)
+        fm = _feature_map(args, ck, [np.asarray(X)])
+        phi = fm.phi(params, X)
+        y = lowrank.sample_lowrank(key, phi, fm.noise_diag(params, X) + jitter)
     else:
         from gaplac_tpu.cli.common import design_matrix
 
@@ -108,6 +117,18 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
                     "posterior sampling", spec.likelihood.name)
         sigma2 = 1.0
 
+    if getattr(args, "approx", "none") == "rff":
+        # large-n posterior draw: Matheron pathwise conditioning, O((n+nt) m)
+        from gaplac_tpu.ops import lowrank
+
+        fm = _feature_map(args, ck, [X_np, Xt_np])
+        phi = fm.phi(params, X)
+        d0 = fm.noise_diag(params, X) + jitter
+        return lowrank.lowrank_conditional_sample_at(
+            jax.random.fold_in(key, 1), phi, d0, sigma2, y,
+            fm.phi(params, Xt), fm.noise_diag(params, Xt) + jitter,
+        )
+
     K_xx = ck.gram(params, X) + jitter * jnp.eye(X.shape[0], dtype=dtype)
     K_tx = ck.gram(params, Xt, X)
     K_tt = ck.gram(params, Xt)
@@ -115,6 +136,16 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
     mu = mvn.gp_predict_mean(post, K_tx)
     cov = mvn.gp_predict_cov(post, K_tx, K_tt)
     return mvn.sample_mvn(jax.random.fold_in(key, 1), cov, mean=mu, jitter=jitter)
+
+
+def _feature_map(args, ck, mats):
+    from gaplac_tpu.kernels.features import build_feature_map
+
+    return build_feature_map(
+        ck, mats,
+        num_features=getattr(args, "rff_features", 256),
+        seed=getattr(args, "rff_seed", 0),
+    )
 
 
 def _plot(args, spec, ck, df) -> None:

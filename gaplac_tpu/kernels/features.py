@@ -105,6 +105,10 @@ class FeatureMap:
     _leaf_builders: Tuple[Optional[Callable], ...]
     _feature_terms: Tuple[Tuple[int, ...], ...]
     _diag_terms: Tuple[Tuple[int, ...], ...]
+    #: per ck.terms index: (start, stop) column slice of phi for that additive
+    #: term, or None when the term is a bare-Noise diag term — powers
+    #: per-component posterior decomposition (fitplot --approx rff)
+    term_slices: Tuple[Optional[Tuple[int, int]], ...]
 
     def phi(self, params: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
         n = X.shape[0]
@@ -120,19 +124,23 @@ class FeatureMap:
             blocks.append(block)
         return jnp.concatenate(blocks, axis=1)
 
+    def term_diag(self, params: jnp.ndarray, X: jnp.ndarray, term) -> jnp.ndarray:
+        """Diagonal of one bare-Noise product term (tuple of leaf indices)."""
+        ck = self.ck
+        block = None
+        for li in term:
+            col = ck.cols[li]
+            x = X[:, col] if col >= 0 else jnp.arange(X.shape[0], dtype=X.dtype)
+            b = _leaf_diag(ck.kinds[li], x, params[li])
+            block = b if block is None else block * b
+        return block
+
     def noise_diag(self, params: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
         """Diagonal contributed by product terms containing a bare Noise leaf
         (zero off-diagonal by row-identity; covariance.py::gram semantics)."""
-        ck = self.ck
         d = jnp.zeros((X.shape[0],), X.dtype)
         for term in self._diag_terms:
-            block = None
-            for li in term:
-                col = ck.cols[li]
-                x = X[:, col] if col >= 0 else jnp.arange(X.shape[0], dtype=X.dtype)
-                b = _leaf_diag(ck.kinds[li], x, params[li])
-                block = b if block is None else block * b
-            d = d + block
+            d = d + self.term_diag(params, X, term)
         return d
 
 
@@ -221,15 +229,18 @@ def build_feature_map(
 
     feature_terms: List[Tuple[int, ...]] = []
     diag_terms: List[Tuple[int, ...]] = []
+    term_slices: List[Optional[Tuple[int, int]]] = []
     m_total = 0
     for term in ck.terms:
         if any(builders[li] is None for li in term):
             diag_terms.append(term)
+            term_slices.append(None)
         else:
             feature_terms.append(term)
             m_term = 1
             for li in term:
                 m_term *= leaf_dims[li]
+            term_slices.append((m_total, m_total + m_term))
             m_total += m_term
     if not feature_terms:
         raise ValueError(
@@ -239,5 +250,5 @@ def build_feature_map(
 
     return FeatureMap(
         ck, num_features, seed, m_total, tuple(builders),
-        tuple(feature_terms), tuple(diag_terms),
+        tuple(feature_terms), tuple(diag_terms), tuple(term_slices),
     )

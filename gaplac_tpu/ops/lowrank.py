@@ -137,6 +137,38 @@ def lowrank_predict_var(
     return jnp.sum(V * V, axis=0) + extra_diag
 
 
+def lowrank_conditional_sample_at(
+    key: jax.Array,
+    phi: jnp.ndarray,
+    d0: Union[float, jnp.ndarray],
+    obs_sigma2: Union[float, jnp.ndarray],
+    y: jnp.ndarray,
+    phi_t: jnp.ndarray,
+    d0_t: Union[float, jnp.ndarray],
+) -> jnp.ndarray:
+    """Exact draw of f* at TEST features from p(f* | y) by Matheron pathwise
+    conditioning, where train f = Phi w + sqrt(d0) eta (w ~ N(0, I_m)),
+    y = f + N(0, s2 I), and f* = Phi* w + sqrt(d0_t) eta* shares only the
+    weights w with the training function (cross-covariance Phi* Phi^T; the
+    diagonal parts are row-independent, matching the dense path's Noise/jitter
+    semantics).  Low-rank analogue of sample_cmd's posterior draw
+    (legacy samplegp, ref bin/old_options.jl:93-118) — all O((n + n_t) m)."""
+    n, m = phi.shape
+    d0 = _as_diag(d0, n, phi.dtype)
+    d0_t = _as_diag(d0_t, phi_t.shape[0], phi.dtype)
+    kw, ke, ko, kt = jax.random.split(key, 4)
+    w0 = jax.random.normal(kw, (m,), phi.dtype)
+    f0 = phi @ w0 + jnp.sqrt(d0) * jax.random.normal(ke, (n,), phi.dtype)
+    e0 = jnp.sqrt(jnp.asarray(obs_sigma2, phi.dtype)) * jax.random.normal(
+        ko, (n,), phi.dtype
+    )
+    lr = lowrank_chol(phi, d0 + obs_sigma2)
+    v = lowrank_solve(lr, y - f0 - e0)  # (K_xx + d0 + s2 I)^-1 residual
+    return phi_t @ (w0 + phi.T @ v) + jnp.sqrt(d0_t) * jax.random.normal(
+        kt, (phi_t.shape[0],), phi.dtype
+    )
+
+
 def lowrank_conditional_sample(
     key: jax.Array,
     phi: jnp.ndarray,

@@ -338,3 +338,23 @@ def test_mcmc_burnin_exceeds_samples_rejected(tmp_path):
         "--output", str(tmp_path / "c.tsv"),
     ])
     assert rc != 0  # clean error, not a post-run crash
+
+def test_mcmc_no_latents_omits_fx_columns(tmp_path):
+    """--no-latents keeps the chain table at O(#hyper) columns (the large-n
+    usability flag for the --approx rff path) while lp stays the reference
+    joint density."""
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-5, 5, 25)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": np.sin(x)}).to_csv(data, sep="\t", index=False)
+    out = tmp_path / "c.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "20", "--warmup", "60",
+        "--approx", "rff", "--rff-features", "64", "--no-latents",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert not any(c.startswith("fx[") for c in df.columns)
+    assert np.isfinite(df["lp"]).all()

@@ -347,3 +347,108 @@ def test_cli_predict_rff_matches_dense_on_finite_rank(tmp_path):
         np.testing.assert_allclose(
             outs["rff"][col], outs["dense"][col], rtol=1e-6, atol=1e-8
         )
+
+
+def test_conditional_sample_at_moments():
+    """Matheron draw AT TEST FEATURES has the exact predictive mean/cov."""
+    phi, d0, y = _rand_lowrank(n=25, m=5, seed=17)
+    rng = np.random.default_rng(18)
+    phi_t = jnp.asarray(rng.standard_normal((12, 5)), phi.dtype)
+    d0_t = jnp.asarray(rng.uniform(0.2, 0.8, 12), phi.dtype)
+    s2 = 0.5
+    K_xx = np.asarray(phi @ phi.T + jnp.diag(d0))
+    K_tx = np.asarray(phi_t @ phi.T)
+    K_tt = np.asarray(phi_t @ phi_t.T + jnp.diag(d0_t))
+    S = K_xx + s2 * np.eye(25)
+    mean_true = K_tx @ np.linalg.solve(S, np.asarray(y))
+    cov_true = K_tt - K_tx @ np.linalg.solve(S, K_tx.T)
+    draws = jax.vmap(
+        lambda k: lowrank.lowrank_conditional_sample_at(k, phi, d0, s2, y, phi_t, d0_t)
+    )(jax.random.split(jax.random.key(2), 8000))
+    draws = np.asarray(draws)
+    assert np.abs(draws.mean(0) - mean_true).max() < 0.1
+    assert np.abs(np.cov(draws.T) - cov_true).max() < 0.25
+
+
+def test_cli_sample_rff_prior_and_posterior(tmp_path):
+    """sample --approx rff: prior and posterior (--data) draws run end-to-end
+    and produce finite responses with the right shapes."""
+    import pandas as pd
+
+    from gaplac_tpu.cli.main import main
+
+    prior = tmp_path / "prior.tsv"
+    rc = main([
+        "--platform", "cpu", "sample", "y :~| SqExp(:x; l=1.5) + Cat(:g)",
+        "--at", "x = rand(Uniform(-5,5), 40); g=[0,1]",
+        "--approx", "rff", "--rff-features", "128",
+        "--seed", "1", "--output", str(prior),
+    ])
+    assert rc == 0
+    pr = pd.read_csv(prior, sep="\t")
+    assert len(pr) == 80 and np.isfinite(pr["y"]).all()
+
+    post = tmp_path / "post.tsv"
+    rc = main([
+        "--platform", "cpu", "sample", "y ~| SqExp(:x; l=1.5) + Cat(:g)",
+        "--data", str(prior), "--at", "x=-5:1:5; g=0",
+        "--approx", "rff", "--rff-features", "128",
+        "--seed", "2", "--output", str(post),
+    ])
+    assert rc == 0
+    po = pd.read_csv(post, sep="\t")
+    assert len(po) == 11 and np.isfinite(po["y"]).all()
+
+
+def test_fitplot_lowrank_components_match_dense(tmp_path):
+    """fitplot's per-component posterior via the feature path equals the
+    dense decomposition on a finite-rank formula (feature AND bare-Noise
+    diag terms), and the CLI runs end-to-end."""
+    import argparse
+
+    from gaplac_tpu.cli.fitplot_cmd import _lowrank_component_stats, term_gram
+    from gaplac_tpu.ops import linalg
+
+    ck = _compiled("Linear(:x) + Cat(:g) + Noise(s2=0.4)")
+    n = 30
+    X = jnp.asarray(_data(ck, n, seed=21))
+    y = jnp.asarray(np.random.default_rng(22).standard_normal(n))
+    params = ck.default_params(X.dtype)
+    noise = 1.1
+    args = argparse.Namespace(rff_features=8, rff_seed=0, approx="rff")
+    stats = _lowrank_component_stats(args, ck, params, X, y, noise)
+
+    S = ck.gram(params, X) + noise * jnp.eye(n, dtype=X.dtype)
+    L = linalg.cholesky(S)
+    alpha = linalg.solve_triangular(
+        L.T, linalg.solve_triangular(L, y, lower=True), lower=False
+    )
+    for t in range(len(ck.terms)):
+        Kt = term_gram(ck, t, params, X)
+        mu_d = Kt @ alpha
+        V = linalg.solve_triangular(L, Kt, lower=True)
+        var_d = jnp.diag(Kt) - jnp.sum(V * V, axis=0)
+        mu_l, var_l = stats(t)
+        np.testing.assert_allclose(np.asarray(mu_l), np.asarray(mu_d),
+                                   rtol=1e-7, atol=1e-9, err_msg=f"term {t} mean")
+        np.testing.assert_allclose(np.asarray(var_l), np.asarray(var_d),
+                                   rtol=1e-7, atol=1e-9, err_msg=f"term {t} var")
+
+    # CLI end-to-end
+    import pandas as pd
+
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(23)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({
+        "x": rng.uniform(-3, 3, 40), "g": rng.integers(0, 3, 40).astype(float),
+        "y": rng.standard_normal(40),
+    }).to_csv(data, sep="\t", index=False)
+    out = tmp_path / "fit.png"
+    rc = main([
+        "--platform", "cpu", "fitplot", "y ~| Linear(:x) + Cat(:g)",
+        "--data", str(data), "--approx", "rff", "--rff-features", "8",
+        "-o", str(out),
+    ])
+    assert rc == 0 and out.exists()
