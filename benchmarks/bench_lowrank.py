@@ -53,14 +53,23 @@ def chain_time_scalar(vgrad, u0, reps=8):
 
 
 def _model(kind, n, m, dtype=jnp.float32):
-    """Build the (dense|rff) marginal logdensity for y ~| SqExp(:x), n obs."""
+    """Build the (dense|rff) marginal logdensity for y ~| SqExp(:x), n obs.
+
+    The dense density is constructed WITHOUT CompiledKernel.bind: bind bakes
+    the theta-independent n x n distance structure into the program as a
+    constant (a sampler-loop win at n<=1e3), which at bench sizes exceeds the
+    axon remote-compile request limit (HTTP 413) — recompute the gram from X
+    (n x 1, tiny) at runtime instead."""
+    from types import SimpleNamespace
+
     from gaplac_tpu.dsl import parse_formula
     from gaplac_tpu.inference.model import (
-        build_gaussian_marginal,
         build_gaussian_marginal_lowrank,
         slot_groups_for,
     )
+    from gaplac_tpu.inference.transforms import Interval
     from gaplac_tpu.kernels.covariance import compile_formula
+    from gaplac_tpu.ops import mvn
 
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.uniform(-5, 5, (n, 1)), dtype)
@@ -68,7 +77,17 @@ def _model(kind, n, m, dtype=jnp.float32):
     ck = compile_formula(parse_formula("y ~| SqExp(:x)").formula)
     groups = slot_groups_for(ck, ["x"])
     if kind == "dense":
-        return build_gaussian_marginal(ck, groups, X, y)
+        tr = Interval(0.0, 20.0)
+        defaults = ck.default_params(dtype)
+        slots = jnp.asarray(groups[0], dtype=jnp.int32)
+
+        def logdensity(u):
+            theta = tr.forward(u)
+            p = defaults.at[slots].set(theta[0])
+            K = ck.gram(p, X)
+            return mvn.mvn_logpdf(K, y, jitter=1.1) + jnp.sum(tr.uniform_logprior(u))
+
+        return SimpleNamespace(logdensity=logdensity)
     return build_gaussian_marginal_lowrank(ck, groups, X, y, num_features=m)
 
 
@@ -82,6 +101,8 @@ def main():
     # 1. low-rank value+grad at scales the dense path cannot reach
     sizes = ((2048, 128),) if small else (
         (16384, 512), (65536, 512), (262144, 512), (65536, 2048))
+    if "--crossover-only" in sys.argv:
+        sizes = ()
     for n, m in sizes:
         print(f"# compiling rff n={n} m={m} ...", file=sys.stderr, flush=True)
         model = _model("rff", n, m)

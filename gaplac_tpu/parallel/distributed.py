@@ -150,6 +150,67 @@ def distributed_cholesky(
     return fn(K)
 
 
+# ---------------------------------------------------------------------------
+# Distributed low-rank (feature-space) marginal — the multi-chip --approx rff
+# path: Phi's ROWS are sharded over the mesh, the m x m capacitance matrix is
+# psum-reduced, and no device ever holds more than (n/P, m) features.
+# ---------------------------------------------------------------------------
+
+
+def sharded_lowrank_logpdf(
+    fm,
+    params: jnp.ndarray,
+    X: jnp.ndarray,
+    extra_diag,
+    y: jnp.ndarray,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """log N(y; 0, Phi Phi^T + D) with observation rows sharded over "data".
+
+    ``fm`` is a kernels/features.py FeatureMap; each device builds only its
+    own (n/P, m) feature rows (phi is row-local — no cross-row terms), the
+    capacitance A = I_m + Phi^T D^-1 Phi accumulates via ONE psum of an
+    m x m partial, and the quadratic/logdet pieces reduce with scalar psums.
+    D = extra_diag + bare-Noise diag.  Differentiable w.r.t. ``params``
+    (collectives have transposes), so a multi-chip NUTS/ChEES logdensity can
+    shard a single chain's observations — the within-chain model-parallel
+    row of SURVEY.md §2.4 for the feature path, complementing the dense
+    distributed_cholesky above.  Compute is O(n m^2 / P) per device; comms is
+    one m x m psum riding ICI.
+    """
+    n = X.shape[0]
+    p = mesh.devices.size
+    if n % p != 0:
+        raise ValueError(f"n={n} must be divisible by mesh size {p}")
+    m = fm.m_total
+    _log2pi = float(np.log(2.0 * np.pi))
+
+    def local(params_r, X_l, y_l):
+        phi_l = fm.phi(params_r, X_l)                     # (n/P, m)
+        d_l = extra_diag + fm.noise_diag(params_r, X_l)
+        pod = phi_l / d_l[:, None]
+        A = jnp.eye(m, dtype=phi_l.dtype) + lax.psum(phi_l.T @ pod, "data")
+        A = 0.5 * (A + A.T)
+        R = jnp.linalg.cholesky(A)                        # replicated, tiny
+        b = lax.psum(pod.T @ y_l, "data")                 # (m,)
+        u = lax.linalg.triangular_solve(
+            R, b[:, None], left_side=True, lower=True
+        )[:, 0]
+        quad = lax.psum(jnp.sum(y_l * y_l / d_l), "data") - jnp.sum(u * u)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(R))) + lax.psum(
+            jnp.sum(jnp.log(d_l)), "data"
+        )
+        return -0.5 * (quad + logdet + n * _log2pi)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None), P("data", None), P("data")),
+        out_specs=P(),
+    )
+    return fn(params, X, y)
+
+
 def distributed_solve_lower(L: jnp.ndarray, b: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Solve L x = b with L row-sharded: block forward substitution.
 

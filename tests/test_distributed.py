@@ -137,3 +137,43 @@ def test_smc_with_sharded_particles():
     )(jax.random.key(1))
     assert np.isfinite(float(res.log_evidence))
     assert float(res.final_beta) == 1.0
+
+
+def test_sharded_lowrank_logpdf_matches_single_device(mesh):
+    """Row-sharded feature-space marginal == single-device Woodbury logpdf,
+    value AND gradient (the multi-chip --approx rff logdensity)."""
+    from gaplac_tpu.kernels.features import build_feature_map
+    from gaplac_tpu.ops import lowrank
+    from gaplac_tpu.parallel.distributed import sharded_lowrank_logpdf
+
+    ck = compile_formula(
+        parse_formula("y ~| SqExp(:x) + Cat(:g) + Noise(s2=0.3)").formula
+    )
+    n = 256
+    rng = np.random.default_rng(3)
+    X = np.stack([rng.uniform(-4, 4, n), rng.integers(0, 3, n).astype(float)], axis=1)
+    Xj = jnp.asarray(X)
+    y = jnp.asarray(rng.standard_normal(n))
+    fm = build_feature_map(ck, [X], num_features=64, seed=0)
+    extra = 1.1  # jitter + sigma2
+
+    def lp_single(params):
+        phi = fm.phi(params, Xj)
+        return lowrank.lowrank_logpdf(phi, extra + fm.noise_diag(params, Xj), y)
+
+    def lp_sharded(params):
+        return sharded_lowrank_logpdf(fm, params, Xj, extra, y, mesh)
+
+    params = ck.default_params(Xj.dtype)
+    np.testing.assert_allclose(
+        float(lp_sharded(params)), float(lp_single(params)), rtol=1e-10
+    )
+    g_single = jax.grad(lp_single)(params)
+    g_sharded = jax.grad(lp_sharded)(params)
+    np.testing.assert_allclose(
+        np.asarray(g_sharded), np.asarray(g_single), rtol=1e-8, atol=1e-12
+    )
+    # and under jit (the sampler's usage)
+    np.testing.assert_allclose(
+        float(jax.jit(lp_sharded)(params)), float(lp_single(params)), rtol=1e-10
+    )
