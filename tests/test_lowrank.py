@@ -452,3 +452,29 @@ def test_fitplot_lowrank_components_match_dense(tmp_path):
         "-o", str(out),
     ])
     assert rc == 0 and out.exists()
+
+
+def test_cli_mcmc_chees_rff_composes(tmp_path):
+    """--sampler chees + --approx rff: the TPU-native sampler runs on the
+    low-rank marginal (8 lockstep chains, sharded over the CPU mesh)."""
+    import pandas as pd
+
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(9)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": rng.uniform(-5, 5, 40),
+                  "y": np.sin(rng.uniform(-5, 5, 40))}).to_csv(
+        data, sep="\t", index=False)
+    out = tmp_path / "c.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "15", "--warmup", "30",
+        "--sampler", "chees", "--chains", "8",
+        "--approx", "rff", "--rff-features", "64", "--no-latents",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert df["chain"].nunique() == 8
+    assert np.isfinite(df["lp"]).all() and np.isfinite(df["ℓ"]).all()
