@@ -115,7 +115,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Additional draws to discard post-warmup (legacy --burnin)")
     pm.add_argument("--thin", type=int, default=1, help="Keep every k-th draw (legacy --thin)")
     pm.add_argument("--prior", default="Uniform(0,20)",
-                    help="Prior for inferred hyperparameters (default Uniform(0,20))")
+                    help="Prior for inferred hyperparameters: Uniform(lo,hi) "
+                    "[reference default Uniform(0,20)], LogNormal(mu,sigma), "
+                    "Gamma(alpha,rate), TruncatedNormal(mu,sigma,lo,hi)")
     pm.add_argument("--jitter", type=float, default=0.1, help="Latent GP noise floor")
     pm.add_argument("--checkpoint", help="Path to write sampler-state checkpoints")
     pm.add_argument("--resume", help="Resume/extend from a checkpoint or previous chain output")

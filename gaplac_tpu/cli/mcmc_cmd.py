@@ -41,12 +41,11 @@ HYPER_COL = "ℓ"  # reference chain schema (Turing's ℓ column)
 
 
 def parse_prior(s: str):
-    import re
+    """--prior string -> priors.Prior (Uniform/LogNormal/Gamma/TruncatedNormal;
+    the reference hardcodes Uniform(0,20), mcmc.jl:32)."""
+    from gaplac_tpu.inference.priors import parse_prior as _parse
 
-    m = re.fullmatch(r"\s*Uniform\(\s*([-\d.eE+]+)\s*,\s*([-\d.eE+]+)\s*\)\s*", s)
-    if not m:
-        raise ValueError(f"Unsupported prior {s!r} (supported: Uniform(lo,hi))")
-    return float(m.group(1)), float(m.group(2))
+    return _parse(s)
 
 
 def run(args) -> None:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from gaplac_tpu.inference.likelihoods import make_loglik
-from gaplac_tpu.inference.transforms import Interval
+from gaplac_tpu.inference.priors import as_prior
 from gaplac_tpu.inference.model import (
     DEFAULT_PRIOR_BOUNDS,
     GPModel,
@@ -111,7 +111,7 @@ def build_laplace_marginal(
     """Approximate-marginal model for non-Gaussian likelihoods: NUTS/VI run
     over theta only, with the latents integrated out by Laplace — the
     analogue of build_gaussian_marginal (SURVEY.md §2.11 Laplace row)."""
-    tr = Interval(*prior_bounds)
+    tr = as_prior(prior_bounds)
     nh = len(slot_groups)
     n = y.shape[0]
     dtype = X.dtype
@@ -131,7 +131,7 @@ def build_laplace_marginal(
 
     def logdensity(u: jnp.ndarray) -> jnp.ndarray:
         _, _, fit = _fit(u)
-        return fit.log_marginal + jnp.sum(tr.uniform_logprior(u))
+        return fit.log_marginal + jnp.sum(tr.logprior_u(u))
 
     def report(key: jax.Array, u: jnp.ndarray):
         theta, K, fit = _fit(u)
@@ -144,7 +144,7 @@ def build_laplace_marginal(
         Lc = linalg.cholesky(cov + 1e-8 * jnp.trace(cov) / n * eye)
         f = fit.f_mode + Lc @ jax.random.normal(key, (n,), dtype)
         lp = (
-            jnp.sum(tr.constrained_logprior(theta))
+            jnp.sum(tr.logprior_x(theta))
             + mvn.mvn_logpdf(K, f)
             + jnp.sum(loglik_fn(y, f, aux_arr))
         )

@@ -34,13 +34,16 @@ import jax.numpy as jnp
 
 from gaplac_tpu.dsl.parser import LikelihoodSpec
 from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2, make_loglik
-from gaplac_tpu.inference.transforms import Interval
+from gaplac_tpu.inference.priors import as_prior
 from gaplac_tpu.kernels.covariance import CompiledKernel
 from gaplac_tpu.ops import linalg, mvn
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
 DEFAULT_PRIOR_BOUNDS = (0.0, 20.0)  # ref: ℓ ~ Uniform(0,20), mcmc.jl:32
+
+# every builder's ``prior_bounds`` accepts either the legacy (lo, hi) Uniform
+# tuple or any priors.Prior (LogNormal/Gamma/TruncatedNormal; --prior string)
 
 
 def slot_groups_for(
@@ -110,7 +113,7 @@ def build_gaussian_marginal(
     prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
 ) -> GPModel:
     """Collapsed model: θ -> log N(y; 0, K(θ) + (jitter+σ²) I) + prior."""
-    tr = Interval(*prior_bounds)
+    tr = as_prior(prior_bounds)
     nh = len(slot_groups)
     n = y.shape[0]
     dtype = X.dtype
@@ -124,7 +127,7 @@ def build_gaussian_marginal(
     def logdensity(u: jnp.ndarray) -> jnp.ndarray:
         theta = tr.forward(u)
         S = gram_bound(params_from(theta))
-        return mvn.mvn_logpdf(S, y) + jnp.sum(tr.uniform_logprior(u))
+        return mvn.mvn_logpdf(S, y) + jnp.sum(tr.logprior_u(u))
 
     def report(key: jax.Array, u: jnp.ndarray):
         """Draw f ~ p(f | θ, y) exactly and evaluate the reference-schema
@@ -138,7 +141,7 @@ def build_gaussian_marginal(
         Lc = linalg.cholesky(cond_cov + (1e-8 * jnp.trace(cond_cov) / n) * eye)
         f = mean_f + Lc @ jax.random.normal(key, (n,), dtype)
         lp = (
-            jnp.sum(tr.constrained_logprior(theta))
+            jnp.sum(tr.logprior_x(theta))
             + mvn.mvn_logpdf(Kf, f)
             + jnp.sum(-0.5 * ((y - f) ** 2 / obs_sigma2 + jnp.log(obs_sigma2) + _LOG_2PI))
         )
@@ -181,7 +184,7 @@ def build_gaussian_marginal_lowrank(
     from gaplac_tpu.kernels.features import build_feature_map
     from gaplac_tpu.ops import lowrank
 
-    tr = Interval(*prior_bounds)
+    tr = as_prior(prior_bounds)
     nh = len(slot_groups)
     n = y.shape[0]
     dtype = X.dtype
@@ -199,7 +202,7 @@ def build_gaussian_marginal_lowrank(
         phi, d0 = _phi_d0(theta)
         return (
             lowrank.lowrank_logpdf(phi, d0 + obs_sigma2, y)
-            + jnp.sum(tr.uniform_logprior(u))
+            + jnp.sum(tr.logprior_u(u))
         )
 
     def report(key: jax.Array, u: jnp.ndarray):
@@ -209,7 +212,7 @@ def build_gaussian_marginal_lowrank(
         phi, d0 = _phi_d0(theta)
         f = lowrank.lowrank_conditional_sample(key, phi, d0, obs_sigma2, y)
         lp = (
-            jnp.sum(tr.constrained_logprior(theta))
+            jnp.sum(tr.logprior_x(theta))
             + lowrank.lowrank_logpdf(phi, d0, f)
             + jnp.sum(-0.5 * ((y - f) ** 2 / obs_sigma2 + jnp.log(obs_sigma2) + _LOG_2PI))
         )
@@ -236,7 +239,7 @@ def build_latent_whitened(
     prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
 ) -> GPModel:
     """Whitened latent model over v = [u (nh,), z (n,)]: f = L(θ) z."""
-    tr = Interval(*prior_bounds)
+    tr = as_prior(prior_bounds)
     nh = len(slot_groups)
     n = y.shape[0]
     dtype = X.dtype
@@ -258,7 +261,7 @@ def build_latent_whitened(
         _, L = _latent_chol(u)
         f = L @ z
         return (
-            jnp.sum(tr.uniform_logprior(u))
+            jnp.sum(tr.logprior_u(u))
             - 0.5 * jnp.sum(z * z)
             - 0.5 * n * _LOG_2PI
             + jnp.sum(loglik(y, f, aux_arr))
@@ -269,7 +272,7 @@ def build_latent_whitened(
         theta, L = _latent_chol(u)
         f = L @ z
         lp = (
-            jnp.sum(tr.constrained_logprior(theta))
+            jnp.sum(tr.logprior_x(theta))
             + mvn.mvn_logpdf_chol(L, f)
             + jnp.sum(loglik(y, f, aux_arr))
         )

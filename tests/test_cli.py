@@ -167,6 +167,26 @@ def test_mcmc_multichain_and_resume(data_file, tmp_path):
     assert len(pd.read_csv(out2, sep="\t")) == 60
 
 
+def test_mcmc_prior_flag(data_file, tmp_path):
+    """--prior LogNormal routes through the registry end-to-end; an extreme
+    prior (mass near 0.2) visibly drags the posterior ℓ down vs Uniform."""
+    out = tmp_path / "ln.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", data_file,
+        "--infer", "x", "--samples", "100", "--warmup", "150", "--seed", "5",
+        "--prior", "LogNormal(-1.6, 0.3)", "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert df["ℓ"].mean() < 1.0  # data says ~1.5; the tight prior wins
+
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data", data_file,
+        "--infer", "x", "--samples", "5", "--prior", "Cauchy(0,1)",
+    ])
+    assert rc == 2  # unknown prior is a clean CLI error
+
+
 def test_mcmc_missing_column(data_file):
     rc = main([
         "--platform", "cpu", "mcmc", "y ~| SqExp(:nope)", "--data", data_file,
