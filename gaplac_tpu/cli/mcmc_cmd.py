@@ -216,7 +216,10 @@ def run(args) -> None:
     report_keys = jax.random.split(k_report, n_chains * kept).reshape(n_chains, kept)
 
     with profiling.phase("mcmc.report"):
-        thetas, fs, lps = _chain_report(model, report_keys, positions)
+        thetas, fs, lps = _chain_report(
+            model, report_keys, positions,
+            want_latents=not getattr(args, "no_latents", False),
+        )
 
     if args.checkpoint:
         _save_checkpoint(args.checkpoint, positions, res)
@@ -228,17 +231,29 @@ def run(args) -> None:
     )
 
 
-def _chain_report(model, report_keys, positions):
+def _chain_report(model, report_keys, positions, want_latents=True):
     """(chains, draws) report materialization; lax.map over draws keeps peak
-    memory at one draw's O(n^2) buffers."""
+    memory at one draw's O(n^2) buffers.
+
+    ``want_latents=False`` (--no-latents): the per-draw latent f is reduced to
+    lp INSIDE the map and discarded, so the (chains, draws, n) stacked buffer
+    never exists on device or host — at large n that buffer is the peak
+    (8 chains x 200 draws x 262144 f32 ~ 1.7 GB)."""
 
     @jax.jit
     @jax.vmap
     def go(keys, qs):
-        return jax.lax.map(lambda kq: model.report(*kq), (keys, qs))
+        def one(kq):
+            theta, f, lp = model.report(*kq)
+            return (theta, f, lp) if want_latents else (theta, lp)
 
-    thetas, fs, lps = go(report_keys, positions)
-    return np.asarray(thetas), np.asarray(fs), np.asarray(lps)
+        return jax.lax.map(one, (keys, qs))
+
+    if want_latents:
+        thetas, fs, lps = go(report_keys, positions)
+        return np.asarray(thetas), np.asarray(fs), np.asarray(lps)
+    thetas, lps = go(report_keys, positions)
+    return np.asarray(thetas), None, np.asarray(lps)
 
 
 def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None, divs=None):
@@ -333,7 +348,10 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
     positions = res.positions[:, sl]
     kept = positions.shape[1]
     report_keys = jax.random.split(k_report, n_chains * kept).reshape(n_chains, kept)
-    thetas, fs, lps = _chain_report(model, report_keys, positions)
+    thetas, fs, lps = _chain_report(
+        model, report_keys, positions,
+        want_latents=not getattr(args, "no_latents", False),
+    )
     _emit_chains(args, model, y.shape[0], thetas, fs, lps)
 
 
@@ -355,7 +373,10 @@ def _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_repor
     report_keys = jax.random.split(k_report, n_chains * num_samples).reshape(
         n_chains, num_samples
     )
-    thetas, fs, lps = _chain_report(model, report_keys, draws)
+    thetas, fs, lps = _chain_report(
+        model, report_keys, draws,
+        want_latents=not getattr(args, "no_latents", False),
+    )
     _emit_chains(args, model, y.shape[0], thetas, fs, lps)
 
 

@@ -125,7 +125,16 @@ class FeatureMap:
         return jnp.concatenate(blocks, axis=1)
 
     def term_diag(self, params: jnp.ndarray, X: jnp.ndarray, term) -> jnp.ndarray:
-        """Diagonal of one bare-Noise product term (tuple of leaf indices)."""
+        """Diagonal of one bare-Noise product term (tuple of leaf indices).
+
+        SHARDING CONTRACT: this diag must depend only on each row's VALUES,
+        never its global row index — under sharded_lowrank_logpdf X is a
+        (n/P, cols) LOCAL shard, so the arange row-ids below are shard-local.
+        That is correct today because _leaf_diag ignores x for the col<0
+        kinds (Noise/Constant are row-identity: diag is a constant); a future
+        diag kind that reads row identity would silently break sharded
+        results (contrast sharded_gram's explicit global-row-offset handling
+        in parallel/distributed.py)."""
         ck = self.ck
         block = None
         for li in term:

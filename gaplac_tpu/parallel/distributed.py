@@ -182,6 +182,15 @@ def sharded_lowrank_logpdf(
     p = mesh.devices.size
     if n % p != 0:
         raise ValueError(f"n={n} must be divisible by mesh size {p}")
+    extra_diag = jnp.asarray(extra_diag)
+    if extra_diag.ndim != 0:
+        # a per-observation (n,) array is captured as a REPLICATED closure
+        # constant inside shard_map and would broadcast against the (n/P,)
+        # local noise diag; fold per-row terms into fm.noise_diag instead
+        raise ValueError(
+            "extra_diag must be a scalar (jitter + obs variance); "
+            "per-observation diagonals belong in the FeatureMap's noise_diag"
+        )
     m = fm.m_total
     _log2pi = float(np.log(2.0 * np.pi))
 
