@@ -36,7 +36,7 @@ def chain_time(op, x, remake, reps=8):
     return (time.time() - t0) / reps
 
 
-def main():
+def main(only=None):
     from gaplac_tpu.dsl import parse_formula
     from gaplac_tpu.kernels.covariance import compile_formula
     from gaplac_tpu.ops.cholesky import blocked_cholesky
@@ -51,7 +51,7 @@ def main():
     )
     p = ck.default_params(jnp.float32)
 
-    for n in (4096, 8192, 16384):
+    for n in (4096, 8192, 16384) if only in (None, "gram") else ():
         X = np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32)
         X[:, 1] = np.floor(np.abs(X[:, 1]) * 2)
         Xj = jnp.asarray(X)
@@ -66,7 +66,7 @@ def main():
                 "unit": "GB/s(out)", "seconds": round(t, 5),
             })
 
-    for n in (2048, 4096, 8192):
+    for n in ((2048, 4096, 8192) if only in (None, "chol") else ()):
         Xg = np.random.default_rng(0).normal(size=(n, 16)).astype(np.float32)
         K = jnp.asarray(Xg @ Xg.T / 16 + np.eye(n, dtype=np.float32))
         def remake_chol(L, c):
@@ -85,9 +85,45 @@ def main():
                 "unit": "GFLOP/s", "seconds": round(t, 5),
             })
 
+    # ---- fused gram->cholesky vs the two-step production pipeline --------
+    # (VERDICT r1 item 1) op is params -> L so every rep regenerates the
+    # gram; remake perturbs params by an epsilon derived from mean|L| to
+    # force full recompute with a live data dependency.
+    from gaplac_tpu.ops.cholesky import adaptive_base
+    from gaplac_tpu.ops.fused import fused_gram_cholesky
+
+    for n in ((4096, 8192, 16384) if only in (None, "fused") else ()):
+        X = np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32)
+        X[:, 1] = np.floor(np.abs(X[:, 1]) * 2)
+        Xj = jnp.asarray(X)
+        p0 = ck.default_params(jnp.float32)
+        remake_p = lambda L, c: c + 1e-30 * jnp.exp(-jnp.abs(jnp.mean(L)))
+
+        def pipe_blocked(p, prec=lax.Precision.HIGHEST):
+            K = ck.gram(p, Xj) + 1.1 * jnp.eye(n, dtype=jnp.float32)
+            return blocked_cholesky(K, base=adaptive_base(n), precision=prec)
+
+        def pipe_xla(p):
+            K = ck.gram(p, Xj) + 1.1 * jnp.eye(n, dtype=jnp.float32)
+            return jnp.linalg.cholesky(K)
+
+        for name, op in (
+            ("pipe_gram+blocked_hi", pipe_blocked),
+            ("pipe_gram+xla", pipe_xla),
+            ("pipe_fused_hi", lambda p: fused_gram_cholesky(
+                ck, 1.1, 2048, lax.Precision.HIGHEST, p, Xj)),
+            ("pipe_fused_fast", lambda p: fused_gram_cholesky(
+                ck, 1.1, 2048, lax.Precision.DEFAULT, p, Xj)),
+        ):
+            t = chain_time(op, p0, remake_p)
+            results.append({
+                "metric": f"{name} n={n}", "value": round(n**3 / 3 / t / 1e9, 1),
+                "unit": "GFLOP/s(chol-equiv)", "seconds": round(t, 5),
+            })
+
     for r in results:
         print(json.dumps(r))
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -33,24 +33,61 @@ CHAINS_PER_DEVICE = 4
 SAMPLES, WARMUP = 100, 100
 
 
-def main():
+def _build_model(dtype):
     from gaplac_tpu.dsl import parse_formula
-    from gaplac_tpu.inference.chees import run_chees
     from gaplac_tpu.inference.model import build_model
     from gaplac_tpu.kernels.covariance import compile_formula
     from gaplac_tpu.ops import mvn
-    from gaplac_tpu.parallel.mesh import chain_mesh
 
-    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
     rng = np.random.default_rng(0)
     x = rng.uniform(-5, 5, N_OBS)
     gen = compile_formula(parse_formula("y ~| SqExp(:x; l=1.5)").formula)
     X = jnp.asarray(x[:, None], dtype)
     y = mvn.sample_mvn(jax.random.key(1), gen.gram(gen.default_params(dtype), X), jitter=0.1)
     spec = parse_formula("y ~| SqExp(:x)")
-    model = build_model(
+    return build_model(
         compile_formula(spec.formula), ["x"], X, y, spec.likelihood, marginalize=False
     )
+
+
+def main_batch():
+    """Single-device chain-BATCH scaling: chains 1, 2, 4, 8 vmapped on one
+    chip (the real-TPU measurement available on the 1-chip axon tunnel;
+    batching amortizes the backend's ~25-40us per-op dispatch floor).
+    Efficiency is per-chain throughput vs the 1-chain rate; >= 1.0 means
+    batching is free or better.  Chains capped at 8 (axon worker faults on
+    batched cholesky at >= ~16 chains, CLAUDE.md)."""
+    from gaplac_tpu.inference.chees import run_chees
+
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    model = _build_model(dtype)
+    base_rate = None
+    for C in (1, 2, 4, 8):
+        q0 = jax.vmap(model.initial_position)(jax.random.split(jax.random.key(4), C))
+        run = jax.jit(
+            lambda k, q: run_chees(k, model.logdensity, q, SAMPLES, num_warmup=WARMUP)
+        )
+        r = run(jax.random.key(5), q0)
+        float(jnp.sum(r.positions))
+        t0 = time.time()
+        r = run(jax.random.key(6), q0)
+        float(jnp.sum(r.positions))
+        rate = C * (SAMPLES + WARMUP) / (time.time() - t0)
+        if base_rate is None:
+            base_rate = rate
+        print(json.dumps({
+            "mode": "chain-batch-1dev", "chains": C,
+            "transitions_per_s": round(rate, 1),
+            "efficiency_vs_linear": round(rate / (base_rate * C), 3),
+        }))
+
+
+def main():
+    from gaplac_tpu.inference.chees import run_chees
+    from gaplac_tpu.parallel.mesh import chain_mesh
+
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    model = _build_model(dtype)
 
     n_dev = jax.device_count()
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
@@ -76,11 +113,11 @@ def main():
             base_rate = rate
         eff = rate / (base_rate * d)
         print(json.dumps({
-            "devices": d, "chains": C,
+            "mode": "device-sharded", "devices": d, "chains": C,
             "transitions_per_s": round(rate, 1),
             "efficiency_vs_linear": round(eff, 3),
         }))
 
 
 if __name__ == "__main__":
-    main()
+    main_batch() if "batch" in sys.argv[1:] else main()

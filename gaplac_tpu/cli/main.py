@@ -19,6 +19,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="gaplac",
         description="TPU-native Gaussian-Process inference for longitudinal analysis "
         "of compositional data (GaPLAC-compatible formula DSL).",
+        epilog="Kernels: SqExp(:x; l) | OU(:x; l) | Linear(:x; c) | Cat(:x) | "
+        "Noise | Constant | 1(c) | Matern32(:x; l) | Matern52(:x; l) | "
+        "Periodic(:x; l, p) | RQ(:x; l, alpha).  The lengthscale-class "
+        "hyperparameter l (and Linear's c, Noise's s2) is chain-sampled via "
+        "--infer; Periodic's period p and RQ's alpha are STATIC shape "
+        "parameters fixed in the formula (not inferable).",
     )
     # global flags (ref: CLI/src/main.jl:21-31)
     p.add_argument("-v", "--verbose", action="store_true", help="Log level to info")
