@@ -26,7 +26,11 @@ import numpy as np
 
 N_OBS = 65536
 M_FEATURES = 512
-CHAINS, WARMUP, SAMPLES = 8, 100, 100
+# 4 chains, not 8: the vmapped low-rank logdensity does a BATCHED (C, m, m)
+# cholesky per eval, and (8, 512, 512) faulted the axon TPU worker
+# (2026-08-20; same custom-call fault class as CLAUDE.md's >=16-chain n=500
+# crash — the threshold shrinks as m grows).  (4, 512, 512) is safe.
+CHAINS, WARMUP, SAMPLES = 4, 100, 100
 
 
 def main():

@@ -22,6 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _emit(results, r):
+    results.append(r)
+    print(json.dumps(r), flush=True)
+
+
 def chain_time(op, x, remake, reps=8):
     @jax.jit
     def many(x):
@@ -37,6 +42,11 @@ def chain_time(op, x, remake, reps=8):
 
 
 def main(only=None):
+    # section arg may carry sizes: e.g. "fused:8192" or "fused:4096,8192"
+    sizes = None
+    if only and ":" in only:
+        only, sz = only.split(":", 1)
+        sizes = tuple(int(v) for v in sz.split(","))
     from gaplac_tpu.dsl import parse_formula
     from gaplac_tpu.kernels.covariance import compile_formula
     from gaplac_tpu.ops.cholesky import blocked_cholesky
@@ -51,7 +61,7 @@ def main(only=None):
     )
     p = ck.default_params(jnp.float32)
 
-    for n in (4096, 8192, 16384) if only in (None, "gram") else ():
+    for n in (sizes or (4096, 8192, 16384)) if only in (None, "gram") else ():
         X = np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32)
         X[:, 1] = np.floor(np.abs(X[:, 1]) * 2)
         Xj = jnp.asarray(X)
@@ -61,12 +71,12 @@ def main(only=None):
             ("gram_pallas", lambda x: pallas_gram(ck, p, x)),
         ):
             t = chain_time(op, Xj, remake)
-            results.append({
+            _emit(results, {
                 "metric": f"{name} n={n}", "value": round(n * n * 4 / t / 1e9, 1),
                 "unit": "GB/s(out)", "seconds": round(t, 5),
             })
 
-    for n in ((2048, 4096, 8192) if only in (None, "chol") else ()):
+    for n in ((sizes or (2048, 4096, 8192)) if only in (None, "chol") else ()):
         Xg = np.random.default_rng(0).normal(size=(n, 16)).astype(np.float32)
         K = jnp.asarray(Xg @ Xg.T / 16 + np.eye(n, dtype=np.float32))
         def remake_chol(L, c):
@@ -80,7 +90,7 @@ def main(only=None):
                 A, base=256, precision=lax.Precision.DEFAULT)),
         ):
             t = chain_time(op, K, remake_chol)
-            results.append({
+            _emit(results, {
                 "metric": f"{name} n={n}", "value": round(fl / t / 1e9, 1),
                 "unit": "GFLOP/s", "seconds": round(t, 5),
             })
@@ -92,7 +102,7 @@ def main(only=None):
     from gaplac_tpu.ops.cholesky import adaptive_base
     from gaplac_tpu.ops.fused import fused_gram_cholesky
 
-    for n in ((4096, 8192, 16384) if only in (None, "fused") else ()):
+    for n in ((sizes or (4096, 8192, 16384)) if only in (None, "fused") else ()):
         X = np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32)
         X[:, 1] = np.floor(np.abs(X[:, 1]) * 2)
         Xj = jnp.asarray(X)
@@ -116,13 +126,10 @@ def main(only=None):
                 ck, 1.1, 2048, lax.Precision.DEFAULT, p, Xj)),
         ):
             t = chain_time(op, p0, remake_p)
-            results.append({
+            _emit(results, {
                 "metric": f"{name} n={n}", "value": round(n**3 / 3 / t / 1e9, 1),
                 "unit": "GFLOP/s(chol-equiv)", "seconds": round(t, 5),
             })
-
-    for r in results:
-        print(json.dumps(r))
 
 
 if __name__ == "__main__":

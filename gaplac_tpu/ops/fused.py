@@ -25,8 +25,17 @@ blocked solves) and pulls dK back through the gram with jax.vjp — the
 backward materializes K's cotangent (unavoidable: dθ needs all of dK), so
 grad cost matches the unfused path while the forward keeps the fusion win.
 
-Measured numbers live in benchmarks/results_v5e.txt (bench_ops.py section
-"fused"); production routing is decided by those measurements.
+MEASURED OUTCOME (TPU v5e, benchmarks/results_v5e.txt round-2 section):
+at equal matmul precision the fused forward never clearly beats the
+two-step ``chol(gram())`` pipeline — 0.84x at n=8192 (DEFAULT), 0.93x
+(HIGHEST), ~parity at n=4096/16384 (HIGH).  XLA already fuses the
+elementwise gram into its first consumer, and left-looking re-reads the
+whole left factor panel-by-panel, spending the HBM traffic the K
+round-trip saved.  Therefore NOT routed into production (that pipeline
+runs blocked-HIGH, ops/cholesky.py::PROD_PREC).  This module is kept as a
+tested, differentiable opt-in whose real value is MEMORY: no n x n K
+buffer alongside L, so the largest single-chip dense n grows ~sqrt(2)x.
+Equivalence: tests/test_ops.py::test_fused_*.
 """
 
 from __future__ import annotations

@@ -13,6 +13,15 @@ feature column is a static (T, 1) slice; the COLUMN side streams transposed
 gives the (T, T) pairwise tile directly on the VPU.  Per-leaf hyperparameters
 ride in SMEM.  The kernel structure (leaf kinds / columns / term groupings)
 is STATIC, baked into the kernel closure at trace time.
+
+MEASURED OUTCOME (v5e, benchmarks/results_v5e.txt): 15-36% SLOWER than the
+pure-jnp gram at every size — XLA's automatic fusion of the elementwise
+kernel math into its consumer already achieves the single-pass behavior
+this kernel guarantees by hand, with better pipelining.  NOT routed into
+production (covariance.py::gram/bind is the production gram; the fused
+gram->cholesky experiment in ops/fused.py reached the same conclusion).
+Kept as a tested reference Pallas kernel for backends where XLA's fusion
+is unavailable.
 """
 
 from __future__ import annotations

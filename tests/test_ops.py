@@ -207,3 +207,61 @@ def test_solve_triangular_blocked_routing(monkeypatch):
         )
     finally:
         linalg.register_blocked_solves(blocked_solve_lower, blocked_solve_upper)
+
+
+# ---------------------------------------------------------------------------
+# Fused gram->cholesky (ops/fused.py) — equivalence vs the two-step pipeline
+# (measured slower/parity on v5e, kept as the memory-lean opt-in; see
+# benchmarks/results_v5e.txt round-2 conclusions)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fused_setup():
+    from gaplac_tpu.ops.fused import _gram_full
+
+    ck = compile_formula(
+        parse_formula("y ~| SqExp(:t) * Cat(:g) + Linear(:x) + Noise").formula
+    )
+    rng = np.random.default_rng(3)
+    n = 900  # non-multiple of the panel: exercises the ragged last panel
+    X = rng.normal(size=(n, 3))
+    X[:, 1] = np.floor(np.abs(X[:, 1]) * 2)
+    Xj = jnp.asarray(X)
+    p = ck.default_params()
+    K = _gram_full(ck, 1.1, p, Xj)
+    y = jnp.asarray(rng.normal(size=n))
+    return ck, p, Xj, K, y
+
+
+def test_fused_gram_cholesky_matches_two_step(fused_setup):
+    from jax import lax
+
+    from gaplac_tpu.ops.fused import fused_gram_cholesky
+
+    ck, p, Xj, K, y = fused_setup
+    L = fused_gram_cholesky(ck, 1.1, 256, lax.Precision.HIGHEST, p, Xj)
+    Lref = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lref), atol=1e-10)
+    assert float(jnp.max(jnp.abs(jnp.triu(L, 1)))) == 0.0
+
+
+def test_fused_logpdf_and_grad_match(fused_setup):
+    from jax import lax
+
+    from gaplac_tpu.ops.fused import _gram_full, mvn_logpdf_fused
+    from gaplac_tpu.ops import mvn
+
+    ck, p, Xj, K, y = fused_setup
+
+    def lp_fused(pp):
+        return mvn_logpdf_fused(ck, pp, Xj, y, 1.1, panel=256,
+                                precision=lax.Precision.HIGHEST)
+
+    def lp_plain(pp):
+        return mvn.mvn_logpdf(_gram_full(ck, 1.1, pp, Xj), y)
+
+    v1, g1 = jax.value_and_grad(lp_fused)(p)
+    v2, g2 = jax.value_and_grad(lp_plain)(p)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
