@@ -114,8 +114,14 @@ def run(args) -> None:
         from gaplac_tpu.inference.model import slot_groups_for
 
         shared = getattr(args, "infer_mode", "shared") == "shared"
-        if getattr(args, "infer", None):
-            slot_groups = slot_groups_for(ck, args.infer, shared=shared)
+        extras = list(getattr(args, "infer_extra", None) or [])
+        if extras and getattr(args, "approx", "none") == "rff":
+            raise ValueError("--infer-extra chains cannot be used with "
+                             "--approx rff (feature maps need static shape "
+                             "parameters)")
+        if getattr(args, "infer", None) or extras:
+            slot_groups = slot_groups_for(ck, args.infer or [], shared=shared,
+                                          infer_extras=extras)
         else:
             slot_groups = default_slot_groups(ck)
         means = _hyper_draws(args.mcmc, n_hyper=len(slot_groups)).mean(axis=0)

@@ -23,8 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
         "Noise | Constant | 1(c) | Matern32(:x; l) | Matern52(:x; l) | "
         "Periodic(:x; l, p) | RQ(:x; l, alpha).  The lengthscale-class "
         "hyperparameter l (and Linear's c, Noise's s2) is chain-sampled via "
-        "--infer; Periodic's period p and RQ's alpha are STATIC shape "
-        "parameters fixed in the formula (not inferable).",
+        "--infer; Periodic's period p and RQ's alpha are shape parameters, "
+        "static at the formula's value unless listed in --infer-extra.",
     )
     # global flags (ref: CLI/src/main.jl:21-31)
     p.add_argument("-v", "--verbose", action="store_true", help="Log level to info")
@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--infer", nargs="+", default=None,
                     help="Variables the --mcmc chain inferred (as in the mcmc run)")
     ps.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared")
+    ps.add_argument("--infer-extra", nargs="+", default=None, metavar="VAR",
+                    help="Variables whose shape parameters (Periodic period, "
+                    "RQ alpha) the --mcmc chain inferred (match the mcmc run)")
     ps.add_argument("--plot", help="File to plot to")
     ps.add_argument("--plotx", help="Plot x axis: 'x' or 'x:group' (legacy --plotx)")
     ps.add_argument("-o", "--output", help="Table output - '.csv', '.tsv', or 'stdout'")
@@ -74,8 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
     pm = sub.add_parser("mcmc", help="Run MCMC (NUTS) over kernel hyperparameters")
     pm.add_argument("formula", help="GP formula specification")
     pm.add_argument("-i", "--data", required=True, help="Table input for inference")
-    pm.add_argument("--infer", nargs="+", required=True,
-                    help="Variable names whose kernel hyperparameter to infer")
+    pm.add_argument("--infer", nargs="+", default=None,
+                    help="Variable names whose kernel hyperparameter to infer "
+                    "(this and/or --infer-extra is required)")
     pm.add_argument("--samples", type=int, default=200,
                     help="Number of posterior samples (default 200)")
     pm.add_argument("-o", "--output", help="Table to output sampling chain")
@@ -96,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
                     help="shared (reference parity: ONE scalar for all --infer vars) "
                     "or pervar (one hyperparameter per distinct variable)")
+    pm.add_argument("--infer-extra", nargs="+", default=None, metavar="VAR",
+                    help="Also infer the shape parameters (Periodic's period p, "
+                    "RQ's alpha) of kernels on these variables — one extra θ "
+                    "column each, same --prior (not available with --approx rff)")
     pm.add_argument("--progress", action="store_true",
                     help="Emit in-run progress lines from the compiled sampler "
                     "(ref: Turing progress=true; off by default — each tick is "
@@ -165,6 +173,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "(same as the mcmc run that produced --mcmc)")
     pp.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
                     help="Match the mcmc run's --infer-mode")
+    pp.add_argument("--infer-extra", nargs="+", default=None, metavar="VAR",
+                    help="Match the mcmc run's --infer-extra")
     pp.add_argument("--at", help="Points to predict at, e.g. 'x=-5:0.1:5;g=0'")
     pp.add_argument("--atdata", help="Table of points to predict at (alternative to --at)")
     pp.add_argument("-o", "--output", help="Output table (.csv/.tsv)")
@@ -191,6 +201,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "lengthscale over all lengthscale-kind leaves)")
     pf.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
                     help="Hyperparameter grouping used by the mcmc run")
+    pf.add_argument("--infer-extra", nargs="+", default=None, metavar="VAR",
+                    help="Match the mcmc run's --infer-extra")
     pf.add_argument("--component", "--comp", dest="component",
                     help="Only plot components involving these ;-separated variables")
     pf.add_argument("-o", "--output", default="fitplots.png", help="Output image file")

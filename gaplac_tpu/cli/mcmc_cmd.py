@@ -58,7 +58,10 @@ def run(args) -> None:
 
     df = apply_outlier_policy(df, args, spec.response)
     ck = compile_formula(spec.formula)
-    inferable = list(args.infer)
+    inferable = list(args.infer or [])
+    infer_extras = list(getattr(args, "infer_extra", None) or [])
+    if not inferable and not infer_extras:
+        raise ValueError("mcmc needs --infer and/or --infer-extra")
     log.debug("Model variables: %s", ck.varnames)
 
     dtype = default_dtype()
@@ -85,7 +88,8 @@ def run(args) -> None:
                 "data already uses the exact marginalized path"
             )
         model = build_laplace_marginal(
-            ck, slot_groups_for(ck, inferable, shared=shared), X, y,
+            ck, slot_groups_for(ck, inferable, shared=shared,
+                                infer_extras=infer_extras), X, y,
             spec.likelihood, aux=aux, jitter=args.jitter, prior_bounds=prior_bounds,
         )
     else:
@@ -104,6 +108,7 @@ def run(args) -> None:
             approx="rff" if approx == "rff" else "exact",
             rff_features=getattr(args, "rff_features", 256),
             rff_seed=getattr(args, "rff_seed", 0),
+            infer_extras=infer_extras,
         )
     log.info(
         "model: %s, NUTS dim %d, n=%d obs",

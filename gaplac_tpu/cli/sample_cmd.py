@@ -98,8 +98,14 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
         from gaplac_tpu.inference.model import slot_groups_for
 
         shared = getattr(args, "infer_mode", "shared") == "shared"
-        if args.infer:
-            slot_groups = slot_groups_for(ck, args.infer, shared=shared)
+        extras = list(getattr(args, "infer_extra", None) or [])
+        if extras and getattr(args, "approx", "none") == "rff":
+            raise ValueError("--infer-extra chains cannot be used with "
+                             "--approx rff (feature maps need static shape "
+                             "parameters)")
+        if args.infer or extras:
+            slot_groups = slot_groups_for(ck, args.infer or [], shared=shared,
+                                          infer_extras=extras)
         else:
             slot_groups = default_slot_groups(ck)
         draws = _hyper_draws(args.mcmc, n_hyper=len(slot_groups))

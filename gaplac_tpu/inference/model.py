@@ -47,7 +47,10 @@ DEFAULT_PRIOR_BOUNDS = (0.0, 20.0)  # ref: ℓ ~ Uniform(0,20), mcmc.jl:32
 
 
 def slot_groups_for(
-    ck: CompiledKernel, inferable: Sequence[str], shared: bool = True
+    ck: CompiledKernel,
+    inferable: Sequence[str],
+    shared: bool = True,
+    infer_extras: Sequence[str] = (),
 ) -> Tuple[Tuple[int, ...], ...]:
     """Map --infer variables to hyperparameter groups.
 
@@ -55,16 +58,32 @@ def slot_groups_for(
     natural hyperparameter of every inferred leaf (mcmc.jl:33 builds
     Dict(v => ℓ for v in inferable)).  ``shared=False`` gives one scalar per
     distinct inferred variable (a strict capability extension).
+
+    ``infer_extras`` names variables whose kernel SHAPE parameters (Periodic
+    period, RQ alpha) are also inferred: each such parameter gets its own
+    trailing θ entry (never shared — shape parameters are not commensurable
+    across leaves).  Chain columns stay positional (ℓ, ℓ_2, …), so predict/
+    fitplot reconstruct the same ordering from the same flags.
     """
-    if shared:
-        return (ck.param_slots_for_vars(inferable),)
-    groups = []
-    seen = set()
-    for v in inferable:
-        if v in seen:
+    groups: list = []
+    if inferable:
+        if shared:
+            groups.append(ck.param_slots_for_vars(inferable))
+        else:
+            seen = set()
+            for v in inferable:
+                if v in seen:
+                    continue
+                seen.add(v)
+                groups.append(ck.param_slots_for_vars([v]))
+    seen_e = set()
+    for v in infer_extras:
+        if v in seen_e:
             continue
-        seen.add(v)
-        groups.append(ck.param_slots_for_vars([v]))
+        seen_e.add(v)
+        groups.extend((s,) for s in ck.extra_slots_for_vars([v]))
+    if not groups:
+        raise ValueError("nothing to infer: give --infer and/or --infer-extra")
     return tuple(groups)
 
 
@@ -91,7 +110,9 @@ class GPModel:
 
 
 def _params_from(ck: CompiledKernel, slot_groups, dtype):
-    defaults = jnp.asarray(ck.defaults, dtype)
+    # extended vector: leaf params + trailing shape params (extras), so
+    # slot groups may point at either class
+    defaults = ck.default_params(dtype)
     idx_groups = [jnp.asarray(g, dtype=jnp.int32) for g in slot_groups]
 
     def params(theta: jnp.ndarray) -> jnp.ndarray:
@@ -308,17 +329,26 @@ def build_model(
     approx: str = "exact",
     rff_features: int = 256,
     rff_seed: int = 0,
+    infer_extras: Sequence[str] = (),
 ) -> GPModel:
     """Pick the marginalized path for Gaussian likelihoods (default), the
     whitened latent path otherwise.  ``approx="rff"`` selects the low-rank
     feature-space marginal (Gaussian likelihoods only)."""
-    groups = slot_groups_for(ck, inferable, shared=shared_hyper)
+    groups = slot_groups_for(ck, inferable, shared=shared_hyper,
+                             infer_extras=infer_extras)
     sigma2 = gaussian_obs_sigma2(likelihood)
     if approx == "rff":
         if sigma2 is None:
             raise ValueError(
                 "--approx rff requires a Gaussian likelihood (the low-rank "
                 "path marginalizes the latents analytically)"
+            )
+        if infer_extras:
+            raise ValueError(
+                "--infer-extra is not supported with --approx rff: the "
+                "feature expansion is drawn from the spectral density at the "
+                "STATIC shape parameters (period/alpha), so they cannot vary "
+                "per density evaluation"
             )
         return build_gaussian_marginal_lowrank(
             ck, groups, X, y, num_features=rff_features, feature_seed=rff_seed,

@@ -24,7 +24,7 @@ density evaluation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import cached_property, partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -160,7 +160,12 @@ class CompiledKernel:
       terms    : sum-of-products structure as leaf-index tuples
       defaults : per-leaf default hyperparameter values
       leaf_vars: per-leaf varname ("" for bare Noise/Constant)
-      extras   : per-leaf STATIC shape parameters (Periodic period, RQ alpha)
+      extras   : per-leaf shape parameters (Periodic period, RQ alpha).
+                 Static by default; they ALSO occupy trailing slots of the
+                 extended parameter vector (see ``n_params``/``extra_slots``)
+                 so inference may treat them as hyperparameters
+                 (--infer-extra).  A params vector of length ``n_leaves``
+                 keeps the legacy static behavior.
     """
 
     varnames: Tuple[str, ...]
@@ -208,8 +213,43 @@ class CompiledKernel:
     def n_leaves(self) -> int:
         return len(self.kinds)
 
+    @cached_property
+    def extra_slots(self) -> Tuple[Tuple[int, ...], ...]:
+        """Per-leaf indices of its shape parameters in the EXTENDED param
+        vector (extras are appended after the ``n_leaves`` leaf params)."""
+        slots = []
+        off = self.n_leaves
+        for e in (self.extras or ((),) * self.n_leaves):
+            slots.append(tuple(range(off, off + len(e))))
+            off += len(e)
+        return tuple(slots)
+
+    @property
+    def n_params(self) -> int:
+        """Extended parameter-vector length: leaf params + trailing extras."""
+        return self.n_leaves + (sum(len(e) for e in self.extras) if self.extras else 0)
+
     def default_params(self, dtype=jnp.float64) -> jnp.ndarray:
-        return jnp.asarray(self.defaults, dtype=dtype)
+        flat_extras = [v for e in (self.extras or ()) for v in e]
+        return jnp.asarray(tuple(self.defaults) + tuple(flat_extras), dtype=dtype)
+
+    def extra_slots_for_vars(self, varnames: Sequence[str]) -> Tuple[int, ...]:
+        """Extended-param indices of the shape parameters (Periodic period,
+        RQ alpha) of every leaf on the named variables (--infer-extra)."""
+        want = set(varnames)
+        slots = tuple(
+            s
+            for v, es in zip(self.leaf_vars, self.extra_slots)
+            if v in want
+            for s in es
+        )
+        if not slots:
+            raise ValueError(
+                f"--infer-extra variables {sorted(want)} match no kernel shape "
+                f"parameter (only Periodic's period and RQ's alpha are shape "
+                f"parameters; formula vars: {self.varnames})"
+            )
+        return slots
 
     def param_slots_for_vars(self, inferable: Sequence[str]) -> Tuple[int, ...]:
         """Leaf-param indices whose natural hyperparameter is replaced when
@@ -245,6 +285,16 @@ class CompiledKernel:
     def _extra(self, li: int) -> Tuple[float, ...]:
         return self.extras[li] if self.extras else ()
 
+    def _extra_vals(self, params: jnp.ndarray, li: int) -> Tuple:
+        """Leaf ``li``'s shape parameters: read from the extended params
+        vector when one is passed (so they differentiate / can be inferred),
+        else the static compile-time values.  The branch is on a static
+        shape, so it resolves at trace time."""
+        es = self.extra_slots[li]
+        if es and params.shape[0] == self.n_params and self.n_params > self.n_leaves:
+            return tuple(params[s] for s in es)
+        return self._extra(li)
+
     def gram(
         self,
         params: jnp.ndarray,
@@ -271,7 +321,8 @@ class CompiledKernel:
                 else:
                     x1 = self._leaf_axis(X1, col)
                     x2 = self._leaf_axis(X2v, col)
-                b = _leaf_cross(self.kinds[li], x1, x2, params[li], self._extra(li))
+                b = _leaf_cross(self.kinds[li], x1, x2, params[li],
+                                self._extra_vals(params, li))
                 block = b if block is None else block * b
             K = K + block
         return K
@@ -294,14 +345,14 @@ class CompiledKernel:
                 col = self.cols[li]
                 if col >= 0:
                     b = _leaf_cross(self.kinds[li], X1[:, col], X2[:, col],
-                                    params[li], self._extra(li))
+                                    params[li], self._extra_vals(params, li))
                 else:
                     b = _leaf_cross(
                         self.kinds[li],
                         row_ids1.astype(X1.dtype),
                         row_ids2.astype(X1.dtype),
                         params[li],
-                        self._extra(li),
+                        self._extra_vals(params, li),
                     )
                 block = b if block is None else block * b
             K = K + block
@@ -326,9 +377,12 @@ class CompiledKernel:
         scalar hyperparameter transforms remain — on a dispatch-bound backend
         this is the difference between ~6 and ~2 ops per leaf.
 
-        ``dynamic_slots`` are the leaf indices whose hyperparameter may
-        change between calls (the union of the model's slot groups); every
-        other leaf is baked at its default value, matching what
+        ``dynamic_slots`` are the extended-param indices that may change
+        between calls (the union of the model's slot groups): leaf indices
+        for the natural hyperparameters, and/or ``extra_slots`` indices for
+        dynamic shape parameters (inferred Periodic period / RQ alpha, whose
+        θ-independent cache degrades to raw differences).  Every other
+        parameter is baked at its default value, matching what
         ``gram(params_from(θ), X)`` computes when only those slots of the
         param vector are updated.
         """
@@ -343,7 +397,8 @@ class CompiledKernel:
             for li in term:
                 x = self._leaf_axis(X, self.cols[li])
                 kind = self.kinds[li]
-                if li in dyn and kind != K_CAT:  # Cat has no hyperparameter
+                dyn_extra = any(s in dyn for s in self.extra_slots[li])
+                if (li in dyn or dyn_extra) and kind != K_CAT:  # Cat: no hyperparam
                     if kind in (K_SQEXP, K_RQ):
                         d = x[:, None] - x[None, :]
                         cache = d * d
@@ -354,12 +409,16 @@ class CompiledKernel:
                     elif kind == K_NOISE:
                         cache = (x[:, None] == x[None, :]).astype(dtype)
                     elif kind == K_PERIODIC:
-                        # the period is static: cache sin^2(pi d / p)
                         d = x[:, None] - x[None, :]
-                        cache = jnp.sin(jnp.pi * d / self._extra(li)[0]) ** 2
+                        if dyn_extra:
+                            # period inferred: only raw differences cacheable
+                            cache = d
+                        else:
+                            # static period: cache sin^2(pi d / p)
+                            cache = jnp.sin(jnp.pi * d / self._extra(li)[0]) ** 2
                     else:  # K_CONST
                         cache = None
-                    dyn_leaves.append((kind, cache, li))
+                    dyn_leaves.append((kind, cache, li, dyn_extra))
                 else:
                     b = _leaf_cross(kind, x, x, jnp.asarray(self.defaults[li], dtype),
                                     self._extra(li))
@@ -375,7 +434,7 @@ class CompiledKernel:
             K = K0
             for static_block, dls in dyn_terms:
                 block = static_block
-                for kind, cache, li in dls:
+                for kind, cache, li, dyn_extra in dls:
                     p = params[li]
                     if kind == K_SQEXP:
                         b = jnp.exp(cache * (-0.5 / (p * p)))
@@ -392,9 +451,15 @@ class CompiledKernel:
                         r = cache * (_SQRT5 / p)
                         b = (1.0 + r + r * r / 3.0) * jnp.exp(-r)
                     elif kind == K_PERIODIC:
-                        b = jnp.exp(cache * (-2.0 / (p * p)))
+                        if dyn_extra:  # cache = raw d; period from params
+                            period = params[self.extra_slots[li][0]]
+                            s2 = jnp.sin(jnp.pi * cache / period) ** 2
+                            b = jnp.exp(s2 * (-2.0 / (p * p)))
+                        else:  # cache = sin^2(pi d / p_static)
+                            b = jnp.exp(cache * (-2.0 / (p * p)))
                     elif kind == K_RQ:
-                        alpha = self._extra(li)[0]
+                        alpha = (params[self.extra_slots[li][0]] if dyn_extra
+                                 else self._extra(li)[0])
                         b = (1.0 + cache / (2.0 * alpha * p * p)) ** (-alpha)
                     else:  # K_CONST
                         b = jnp.broadcast_to(p.astype(dtype), (n, n))
