@@ -86,9 +86,41 @@ def _chol_base_pallas(A: jnp.ndarray) -> jnp.ndarray:
     )(A)
 
 
-def _chol_base(A: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
-    if use_pallas and _HAS_PALLAS and jax.default_backend() != "cpu":
+def _chol_sweep_lax(A: jnp.ndarray) -> jnp.ndarray:
+    """Unblocked column-sweep Cholesky in PLAIN lax ops (same masked
+    algorithm as ``_chol_tile_kernel``, but as a scan over columns instead
+    of a Pallas kernel).  Pure HLO — no LAPACK/Mosaic custom call — so it
+    vmaps into elementwise + batched-matmul ops that cannot hit the axon
+    worker's batched-cholesky fault (see ``cholesky_nocc``).  Serial depth
+    is the column count; use only where the factor cost is negligible."""
+    b = A.shape[0]
+    rows2 = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols2 = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    rows1 = jnp.arange(b)
+
+    def body(a, j):
+        colmask = cols2 == j
+        col = jnp.sum(jnp.where(colmask, a, 0.0), axis=1)          # (b,)
+        diag = jnp.sum(jnp.where(rows1 == j, col, 0.0))
+        d = jnp.sqrt(jnp.maximum(diag, 1e-30))
+        colj = jnp.where(rows1 > j, col / d, 0.0)
+        colj = jnp.where(rows1 == j, d, colj)
+        a = jnp.where(colmask, colj[:, None], a)
+        upd = colj[:, None] * colj[None, :]
+        mask = (rows2 > j) & (cols2 > j)
+        return a - jnp.where(mask, upd, 0.0), None
+
+    a, _ = lax.scan(body, A, jnp.arange(b))
+    return jnp.where(rows2 >= cols2, a, 0.0)
+
+
+def _chol_base(A: jnp.ndarray, base_impl) -> jnp.ndarray:
+    # base_impl: "xla" (native custom call), "pallas", or "lax" (pure HLO);
+    # legacy bool means use_pallas
+    if base_impl in (True, "pallas") and _HAS_PALLAS and jax.default_backend() != "cpu":
         return _chol_base_pallas(A)
+    if base_impl == "lax":
+        return _chol_sweep_lax(A)
     return jnp.linalg.cholesky(A)
 
 
@@ -332,6 +364,62 @@ def _batched_diag_embed(d: jnp.ndarray) -> jnp.ndarray:
 cholesky_small_batched.defvjp(_chol_small_fwd, _chol_small_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Crash-safe batched Cholesky: NO custom calls anywhere (pure HLO)
+# ---------------------------------------------------------------------------
+#
+# The axon TPU worker faults (kernel fault, ~30-60 min tunnel downtime) on
+# XLA's BATCHED cholesky custom call: observed at >= ~16 chains n=500, at
+# 8 chains m=512, and once at 4 chains m=512 (2026-08-20) — the vmapped
+# low-rank capacitance factorization.  This path removes the custom call
+# entirely: recursive 2x2 blocking (matmuls) down to a ``base`` tile
+# factored by the plain-lax column sweep, so under vmap everything lowers
+# to batched matmuls + elementwise HLO.  Serial depth = total column count
+# (m scan steps); for the low-rank capacitance (m << n) the cost is
+# negligible next to the 2 n m^2 feature matmuls.
+
+
+def _chol_nocc_impl(A: jnp.ndarray, base: int) -> jnp.ndarray:
+    n = A.shape[-1]
+    if A.ndim > 2:
+        batch = A.shape[:-2]
+        L = jax.vmap(lambda M: _chol_nocc_impl(M, base))(A.reshape((-1, n, n)))
+        return L.reshape(batch + (n, n))
+    if n <= base:
+        return _chol_sweep_lax(A)
+    pn = -(-n // base) * base
+    if pn != n:
+        P = jnp.zeros((pn, pn), A.dtype)
+        P = P.at[:n, :n].set(A)
+        P = P.at[jnp.arange(n, pn), jnp.arange(n, pn)].set(1.0)
+        return _rchol(P, base, "lax", lax.Precision.HIGHEST)[:n, :n]
+    return _rchol(A, base, "lax", lax.Precision.HIGHEST)
+
+
+@functools.lru_cache(maxsize=None)
+def _chol_nocc_for_base(base: int):
+    @jax.custom_vjp
+    def chol(A):
+        return _chol_nocc_impl(A, base)
+
+    def fwd(A):
+        L = _chol_nocc_impl(A, base)
+        return L, L
+
+    def bwd(L, Lbar):
+        return _chol_small_bwd(L, Lbar)  # same pullback (batched trsm is stable)
+
+    chol.defvjp(fwd, bwd)
+    return chol
+
+
+def cholesky_nocc(A: jnp.ndarray, base: int = 128) -> jnp.ndarray:
+    """Lower Cholesky of (..., n, n) SPD matrices with NO custom calls
+    (vmap/batch-safe on backends whose native batched cholesky is unstable).
+    Differentiable via the standard Cholesky pullback."""
+    return _chol_nocc_for_base(int(base))(A)
+
+
 def adaptive_base(n: int) -> int:
     """Block size scaling with n: the recursion emits O((n/base)^2) HLO ops,
     so a fixed base=256 explodes compile time beyond n~8k.  n/16 (power-of-2,
@@ -368,9 +456,15 @@ def _prod_solve_upper(U, B, **kw):
 
 def register(min_n: int = 2048) -> None:
     """Route gaplac_tpu.ops.linalg.cholesky to the blocked kernel for
-    n >= min_n on TPU, and solve_triangular to the recursive blocked trsm
-    for large matrix RHS — at PROD_PREC (see above)."""
+    n >= min_n on TPU, solve_triangular to the recursive blocked trsm
+    for large matrix RHS — at PROD_PREC (see above) — and
+    cholesky_batchsafe to the no-custom-call factorization (set
+    GAPLAC_NATIVE_BATCHED_CHOL=1 to keep XLA's batched custom call)."""
+    import os
+
     from gaplac_tpu.ops import linalg
 
     linalg.register_pallas_cholesky(_auto_cholesky, min_n=min_n)
     linalg.register_blocked_solves(_prod_solve_lower, _prod_solve_upper)
+    if not os.environ.get("GAPLAC_NATIVE_BATCHED_CHOL"):
+        linalg.register_batchsafe_cholesky(cholesky_nocc)

@@ -42,6 +42,29 @@ def register_blocked_solves(
     _solve_min_rhs = min_rhs
 
 
+_batchsafe_cholesky: Optional[Callable] = None
+
+
+def register_batchsafe_cholesky(fn: Callable) -> None:
+    """Route ``cholesky_batchsafe`` through a pure-HLO factorization (no
+    LAPACK/custom-call) on TPU — the native BATCHED cholesky custom call
+    faults this image's axon worker (kernel fault; CLAUDE.md)."""
+    global _batchsafe_cholesky
+    _batchsafe_cholesky = fn
+
+
+def cholesky_batchsafe(K: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky for matrices that are (or may be vmapped into) a
+    BATCH of small factorizations — e.g. the low-rank capacitance matrix
+    under multi-chain samplers.  On TPU with a registered pure-HLO
+    implementation, avoids the batched-cholesky custom call entirely; the
+    serial column sweep costs O(m) scan steps, negligible next to the
+    2 n m^2 feature matmuls that dominate the low-rank path."""
+    if _batchsafe_cholesky is not None and _on_tpu():
+        return _batchsafe_cholesky(K)
+    return jnp.linalg.cholesky(K)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu",)

@@ -55,7 +55,11 @@ def lowrank_chol(phi: jnp.ndarray, d: Union[float, jnp.ndarray]) -> LowRankChol:
     A = jnp.eye(m, dtype=phi.dtype) + phi.T @ phi_over_d
     # symmetrize: phi^T D^-1 phi is symmetric up to matmul rounding only
     A = 0.5 * (A + A.T)
-    return LowRankChol(phi, d, phi_over_d, linalg.cholesky(A))
+    # batchsafe: under multi-chain vmap this is a BATCHED (C, m, m)
+    # factorization, and XLA's batched-cholesky custom call faults the axon
+    # TPU worker (observed at >= 4 chains, m=512); the pure-HLO route costs
+    # O(m) scan steps — invisible next to the 2 n m^2 feature matmuls
+    return LowRankChol(phi, d, phi_over_d, linalg.cholesky_batchsafe(A))
 
 
 def lowrank_solve(lr: LowRankChol, y: jnp.ndarray) -> jnp.ndarray:
