@@ -151,6 +151,10 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--infer", nargs="+", default=None,
                     help="With --estimator smc: variables whose hyperparameter to "
                     "integrate over (default: all lengthscale-kind leaves)")
+    pl.add_argument("--infer-extra", nargs="+", default=None, metavar="VAR",
+                    help="With --estimator smc: also integrate over the shape "
+                    "parameters (Periodic period, RQ alpha) of kernels on these "
+                    "variables, where the formula has them")
     pl.add_argument("--particles", type=int, default=512, help="SMC particle count")
     pl.add_argument("--approx", choices=["none", "rff"], default="none",
                     help="rff: evaluate --formulae logpdfs (and the SMC target) "

@@ -120,6 +120,15 @@ def run(args) -> None:
     num_samples = args.samples
     num_warmup = args.warmup if args.warmup is not None else max(num_samples, 200)
     n_chains = args.chains
+    # past ~8 lockstep chains the native batched-cholesky faults this
+    # image's TPU worker; the pure-HLO route lifts the chain ceiling at a
+    # few ms per factorization (ops/cholesky.py::cholesky_nocc)
+    from gaplac_tpu.ops import linalg as _linalg
+
+    batchsafe = n_chains > 8 and jax.default_backend() != "cpu"
+    _linalg.set_batchsafe_default(batchsafe)
+    if batchsafe:
+        log.info("chains > 8 on TPU: batch-safe (no-custom-call) cholesky routing on")
     if args.burnin and args.burnin >= num_samples:
         # fail BEFORE sampling: an empty kept-draw slice gives NaN summaries
         # (or an IndexError at checkpoint time) after the whole run

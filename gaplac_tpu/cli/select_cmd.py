@@ -164,7 +164,14 @@ def _smc_evidence(args, spec, df, dtype) -> float:
             v for v, k in zip(ck.leaf_vars, ck.kinds)
             if v and k in LENGTHSCALE_KINDS
         ]
-    if not inferable:
+    # only apply --infer-extra to formulas that HAVE a shape parameter on
+    # that variable (the two compared formulas may differ, e.g. Periodic
+    # vs OU on the same column)
+    infer_extras = [
+        v for v in (getattr(args, "infer_extra", None) or [])
+        if any(lv == v and es for lv, es in zip(ck.leaf_vars, ck.extra_slots))
+    ]
+    if not inferable and not infer_extras:
         K = ck.gram(ck.default_params(dtype), X)
         lp = float(mvn.mvn_logpdf(K, y, jitter=args.jitter))
         log.info("SMC: %s has no inferable hyperparameter; fixed logpdf %.4f",
@@ -175,6 +182,7 @@ def _smc_evidence(args, spec, df, dtype) -> float:
         approx="rff" if getattr(args, "approx", "none") == "rff" else "exact",
         rff_features=getattr(args, "rff_features", 256),
         rff_seed=getattr(args, "rff_seed", 0),
+        infer_extras=infer_extras,
     )
     res = smc_log_evidence_gp(
         _jax.random.key(args.seed), model, n_particles=args.particles

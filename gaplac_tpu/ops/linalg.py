@@ -53,6 +53,20 @@ def register_batchsafe_cholesky(fn: Callable) -> None:
     _batchsafe_cholesky = fn
 
 
+_batchsafe_default = False
+
+
+def set_batchsafe_default(on: bool) -> None:
+    """Trace-time switch: when on, ``cholesky`` routes SMALL factorizations
+    (below the blocked-kernel threshold — exactly the ones that appear
+    BATCHED under a multi-chain vmap) through the pure-HLO no-custom-call
+    path.  Enables chain counts past the axon worker's batched-cholesky
+    fault threshold (>= ~16 chains at n=500).  Set before jit tracing
+    (e.g. mcmc --chains > 8 on TPU does this automatically)."""
+    global _batchsafe_default
+    _batchsafe_default = bool(on)
+
+
 def cholesky_batchsafe(K: jnp.ndarray) -> jnp.ndarray:
     """Lower Cholesky for matrices that are (or may be vmapped into) a
     BATCH of small factorizations — e.g. the low-rank capacitance matrix
@@ -83,6 +97,8 @@ def cholesky(K: jnp.ndarray) -> jnp.ndarray:
         and _on_tpu()
     ):
         return _pallas_cholesky(K)
+    if _batchsafe_default and _batchsafe_cholesky is not None and _on_tpu():
+        return _batchsafe_cholesky(K)
     return jnp.linalg.cholesky(K)
 
 

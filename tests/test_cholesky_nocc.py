@@ -48,6 +48,42 @@ def test_gradients_match_xla():
     np.testing.assert_allclose(gv, g_ref, atol=1e-12)
 
 
+def test_batchsafe_routing_seam(monkeypatch):
+    """linalg.cholesky_batchsafe and the set_batchsafe_default(True) mode
+    route through the registered pure-HLO impl on TPU and fall back to
+    native elsewhere (simulated by monkeypatching the backend check)."""
+    from gaplac_tpu.ops import linalg
+
+    rng = np.random.default_rng(5)
+    A = _spd(rng, 16)
+    calls = []
+
+    def fake_impl(K):
+        calls.append(K.shape)
+        return jnp.linalg.cholesky(K)
+
+    monkeypatch.setattr(linalg, "_batchsafe_cholesky", fake_impl)
+    # off-TPU (the real CPU test env): native, no routing
+    np.testing.assert_allclose(
+        np.asarray(linalg.cholesky_batchsafe(A)),
+        np.asarray(jnp.linalg.cholesky(A)), atol=1e-12,
+    )
+    assert not calls
+    # "on TPU": batchsafe routes, and cholesky() routes small problems when
+    # the default mode is on
+    monkeypatch.setattr(linalg, "_on_tpu", lambda: True)
+    linalg.cholesky_batchsafe(A)
+    assert calls == [(16, 16)]
+    try:
+        linalg.set_batchsafe_default(True)
+        linalg.cholesky(A)
+        assert calls == [(16, 16), (16, 16)]
+    finally:
+        linalg.set_batchsafe_default(False)
+    linalg.cholesky(A)  # mode off again: native
+    assert len(calls) == 2
+
+
 def test_no_custom_calls_in_primal_lowering():
     """The whole point: the PRIMAL factorization lowers to pure HLO — no
     custom call (LAPACK / batched-cholesky) at all, including under vmap.

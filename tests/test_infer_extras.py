@@ -200,6 +200,27 @@ def test_cli_infer_extra_roundtrip(tmp_path):
     assert rc == 0
 
 
+def test_select_smc_infer_extra(tmp_path):
+    """select --estimator smc integrates over a Periodic period via
+    --infer-extra; the flag is skipped for the competing formula that has
+    no shape parameter on that variable (OU)."""
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(11)
+    n = 40
+    x = np.sort(rng.uniform(0, 12, n))
+    y = np.sin(2 * np.pi * x / 3.0) + rng.normal(0, 0.3, n)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": y}).to_csv(data, sep="\t", index=False)
+    rc = main([
+        "--platform", "cpu", "select",
+        "--formulae", "y ~| Periodic(:x; l=1, p=2)", "y ~| OU(:x)",
+        "--data", str(data), "--estimator", "smc", "--particles", "256",
+        "--infer", "x", "--infer-extra", "x", "--seed", "0",
+    ])
+    assert rc == 0
+
+
 def test_infer_extra_rff_rejected():
     ck_spec = parse_formula("y ~| Periodic(:x; l=1, p=3)")
     X = jnp.asarray(np.linspace(0, 1, 8)[:, None])
