@@ -110,11 +110,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "a host callback, which can stall a remote TPU tunnel)")
     pm.add_argument("--check-numerics", action="store_true",
                     help="Enable jax NaN/Inf debugging (jax_debug_nans)")
-    pm.add_argument("--approx", choices=["none", "laplace", "rff"], default="none",
+    pm.add_argument("--approx", choices=["none", "laplace", "rff", "sde"],
+                    default="none",
                     help="laplace: integrate non-Gaussian latents out with a "
                     "Laplace approximation (fast path; legacy laplace_approx). "
                     "rff: low-rank feature-space marginal (random Fourier + "
-                    "exact features; O(n m^2) — the large-n path)")
+                    "exact features; O(n m^2) — the large-n path). "
+                    "sde: EXACT state-space marginal for OU (+ Noise) formulas "
+                    "via parallel Kalman filtering — O(n log n), the "
+                    "time-series path for very large n")
     pm.add_argument("--rff-features", type=int, default=256, metavar="M",
                     help="Features per stationary kernel leaf with --approx rff")
     pm.add_argument("--rff-seed", type=int, default=0,
@@ -156,9 +160,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "parameters (Periodic period, RQ alpha) of kernels on these "
                     "variables, where the formula has them")
     pl.add_argument("--particles", type=int, default=512, help="SMC particle count")
-    pl.add_argument("--approx", choices=["none", "rff"], default="none",
+    pl.add_argument("--approx", choices=["none", "rff", "sde"], default="none",
                     help="rff: evaluate --formulae logpdfs (and the SMC target) "
-                    "through the low-rank feature path — the large-n mode")
+                    "through the low-rank feature path — the large-n mode. "
+                    "sde: exact O(n log n) state-space path for OU (+ Noise) "
+                    "formulas (both formulas must qualify)")
     pl.add_argument("--rff-features", type=int, default=256, metavar="M",
                     help="Features per stationary kernel leaf with --approx rff")
     pl.add_argument("--rff-seed", type=int, default=0)
@@ -185,9 +191,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--plot", help="File to plot to")
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--jitter", type=float, default=0.1)
-    pp.add_argument("--approx", choices=["none", "rff"], default="none",
+    pp.add_argument("--approx", choices=["none", "rff", "sde"], default="none",
                     help="rff: weight-space predictive equations through the "
-                    "low-rank feature path (O(n m^2) — the large-n mode)")
+                    "low-rank feature path (O(n m^2) — the large-n mode). "
+                    "sde: exact state-space smoother for OU (+ Noise) formulas "
+                    "(O((n+nt) log) — the time-series mode)")
     pp.add_argument("--rff-features", type=int, default=256, metavar="M",
                     help="Features per stationary kernel leaf with --approx rff")
     pp.add_argument("--rff-seed", type=int, default=0)

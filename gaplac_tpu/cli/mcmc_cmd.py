@@ -105,7 +105,7 @@ def run(args) -> None:
             prior_bounds=prior_bounds,
             shared_hyper=shared,
             marginalize=not args.no_marginalize,
-            approx="rff" if approx == "rff" else "exact",
+            approx=approx if approx in ("rff", "sde") else "exact",
             rff_features=getattr(args, "rff_features", 256),
             rff_seed=getattr(args, "rff_seed", 0),
             infer_extras=infer_extras,

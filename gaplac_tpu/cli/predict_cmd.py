@@ -157,6 +157,27 @@ def run(args) -> None:
                 post, phi_t, fm.noise_diag(p, Xt) + args.jitter
             )
             return mu, jnp.maximum(var, 1e-12)
+    elif getattr(args, "approx", "none") == "sde":
+        # exact O((n+nt) log) state-space path for OU (+ Noise) formulas:
+        # two-filter smoothing instead of the dense O(n^3) solve
+        from gaplac_tpu.inference.model import _markov_structure
+        from gaplac_tpu.ops import markov
+
+        ou_slot, noise_slots, sort_idx, t_np = _markov_structure(ck, X)
+        ts = jnp.asarray(t_np, dtype)
+        ys_sorted = y[jnp.asarray(sort_idx)]
+        t_new = Xt[:, ck.cols[ou_slot]]
+
+        def predict_one(theta):
+            p = _params(theta)
+            j_eff = args.jitter
+            for s in noise_slots:
+                j_eff = j_eff + p[s]
+            mu, var_x = markov.ou_posterior_predict(
+                ts, ys_sorted, p[ou_slot], j_eff + sigma2, t_new
+            )
+            # latent at new points = OU + independent jitter/noise diag
+            return mu, jnp.maximum(var_x + j_eff, 1e-12)
     else:
 
         def predict_one(theta):

@@ -97,6 +97,8 @@ def run(args) -> None:
             X = jnp.asarray(design_matrix(df, ck), dtype)
             if getattr(args, "approx", "none") == "rff":
                 return _lowrank_fixed_lp(args, ck, X, y)
+            if getattr(args, "approx", "none") == "sde":
+                return _markov_fixed_lp(args, ck, X, y)
             K = ck.gram(ck.default_params(dtype), X)
             return float(mvn.mvn_logpdf(K, y, jitter=args.jitter))
 
@@ -120,6 +122,21 @@ def run(args) -> None:
     log.info("\n%s", report)
     print(report)
     return bayes
+
+
+def _markov_fixed_lp(args, ck, X, y) -> float:
+    """Fixed-hyperparameter logpdf through the exact state-space path
+    (--approx sde): parallel-Kalman log N(y; 0, K_OU + (jitter + s2) I) —
+    O(n log n), exact (ops/markov.py)."""
+    from gaplac_tpu.inference.model import _markov_structure
+    from gaplac_tpu.ops import markov
+
+    ou_slot, noise_slots, sort_idx, t_np = _markov_structure(ck, X)
+    p = ck.default_params(X.dtype)
+    j_eff = args.jitter + sum(float(p[s]) for s in noise_slots)
+    ts = jnp.asarray(t_np, X.dtype)
+    ys = jnp.asarray(y)[jnp.asarray(sort_idx)]
+    return float(markov.ou_loglik(ts, ys, p[ou_slot], j_eff))
 
 
 def _lowrank_fixed_lp(args, ck, X, y) -> float:
@@ -177,9 +194,10 @@ def _smc_evidence(args, spec, df, dtype) -> float:
         log.info("SMC: %s has no inferable hyperparameter; fixed logpdf %.4f",
                  spec.formula, lp)
         return lp
+    approx = getattr(args, "approx", "none")
     model = build_model(
         ck, inferable, X, y, spec.likelihood, jitter=args.jitter,
-        approx="rff" if getattr(args, "approx", "none") == "rff" else "exact",
+        approx=approx if approx in ("rff", "sde") else "exact",
         rff_features=getattr(args, "rff_features", 256),
         rff_seed=getattr(args, "rff_seed", 0),
         infer_extras=infer_extras,

@@ -1,0 +1,185 @@
+"""Exact state-space (parallel-Kalman) path for OU formulas (--approx sde).
+
+ops/markov.py must match the dense MVN marginal / GP regression to floating
+point (same math, O(n log n) associative scans instead of O(n^3) Cholesky),
+and the model/CLI wiring must reproduce the dense path's numbers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from gaplac_tpu.dsl import parse_formula
+from gaplac_tpu.inference.model import build_model
+from gaplac_tpu.kernels.covariance import compile_formula
+from gaplac_tpu.ops import markov, mvn
+
+
+def _dense_K(t, ell):
+    d = jnp.abs(t[:, None] - t[None, :])
+    return jnp.exp(-d / ell)
+
+
+@pytest.mark.parametrize("n,ell,R", [(7, 1.3, 0.5), (60, 0.4, 1.1), (200, 3.0, 0.1)])
+def test_loglik_matches_dense(n, ell, R):
+    rng = np.random.default_rng(n)
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(rng.standard_normal(n))
+    lp_dense = float(mvn.mvn_logpdf(_dense_K(t, ell) + R * jnp.eye(n), y))
+    lp_ss = float(markov.ou_loglik(t, y, ell, R))
+    assert abs(lp_dense - lp_ss) < 1e-8 * max(1.0, abs(lp_dense))
+
+
+def test_loglik_duplicate_times_and_grad():
+    rng = np.random.default_rng(3)
+    t = jnp.asarray(np.sort(np.concatenate([[1.0, 1.0, 2.0, 2.0],
+                                            rng.uniform(0, 5, 6)])))
+    y = jnp.asarray(rng.standard_normal(10))
+    lp_dense = float(mvn.mvn_logpdf(_dense_K(t, 0.7) + 0.3 * jnp.eye(10), y))
+    assert abs(lp_dense - float(markov.ou_loglik(t, y, 0.7, 0.3))) < 1e-9
+    g_ss = float(jax.grad(lambda l: markov.ou_loglik(t, y, l, 0.3))(0.7))
+    g_d = float(jax.grad(
+        lambda l: mvn.mvn_logpdf(_dense_K(t, l) + 0.3 * jnp.eye(10), y))(0.7))
+    assert abs(g_ss - g_d) < 1e-8
+
+
+def test_smooth_and_predict_match_dense():
+    rng = np.random.default_rng(1)
+    n, m, ell, R = 40, 15, 1.1, 0.4
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(rng.standard_normal(n))
+    tn = jnp.asarray(np.sort(rng.uniform(-1, 11, m)))
+    K = _dense_K(t, ell)
+    sol = jnp.linalg.solve(K + R * jnp.eye(n), y)
+    m_s, P_s = markov.ou_smooth(t, y, ell, R)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(K @ sol), atol=1e-9)
+    P_d = jnp.diag(K - K @ jnp.linalg.solve(K + R * jnp.eye(n), K))
+    np.testing.assert_allclose(np.asarray(P_s), np.asarray(P_d), atol=1e-9)
+    Ktx = jnp.exp(-jnp.abs(tn[:, None] - t[None, :]) / ell)
+    mu_d = Ktx @ sol
+    A = jnp.linalg.solve(K + R * jnp.eye(n), Ktx.T)
+    var_d = 1.0 - jnp.sum(Ktx * A.T, axis=1)
+    mu_s, var_s = markov.ou_posterior_predict(t, y, ell, R, tn)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_d), atol=1e-9)
+
+
+def test_prior_sample_covariance():
+    rng = np.random.default_rng(4)
+    t = jnp.asarray(np.sort(rng.uniform(0, 5, 12)))
+    keys = jax.random.split(jax.random.key(0), 4000)
+    xs = np.asarray(jax.vmap(lambda k: markov.ou_prior_sample(k, t, 1.3))(keys))
+    emp = np.cov(xs.T)
+    Kp = np.exp(-np.abs(np.asarray(t)[:, None] - np.asarray(t)[None, :]) / 1.3)
+    assert np.abs(emp - Kp).max() < 0.08  # MC error at 4000 paths
+
+
+def test_model_logdensity_matches_dense():
+    """build_model(approx='sde') must equal the dense marginalized model's
+    logdensity pointwise — same math, different algorithm.  Includes an
+    inferred bare-Noise term (shared slot group with the OU lengthscale is
+    the reference's --infer semantics, so use pervar groups here)."""
+    rng = np.random.default_rng(7)
+    n = 50
+    x = np.sort(rng.uniform(0, 10, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(x) + rng.normal(0, 0.5, n))
+    spec = parse_formula("y ~| OU(:x) + Noise")
+    ck = compile_formula(spec.formula)
+    m_sde = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
+    m_dense = build_model(ck, ["x"], X, y, spec.likelihood)
+    for seed in range(5):
+        u = jax.random.uniform(jax.random.key(seed), (m_sde.dim,), minval=-2.0,
+                               maxval=2.0)
+        a = float(m_sde.logdensity(u))
+        b = float(m_dense.logdensity(u))
+        assert abs(a - b) < 1e-7 * max(1.0, abs(b))
+        ga = np.asarray(jax.grad(m_sde.logdensity)(u))
+        gb = np.asarray(jax.grad(m_dense.logdensity)(u))
+        np.testing.assert_allclose(ga, gb, rtol=1e-6, atol=1e-8)
+
+
+def test_model_report_latents_match_posterior_mean():
+    """The Matheron latent draw in report(): the MEAN over many draws at
+    fixed theta must equal the exact posterior mean (within MC error), and
+    the fx ordering must match the ORIGINAL (unsorted) row order."""
+    rng = np.random.default_rng(9)
+    n = 30
+    x = rng.uniform(0, 8, n)  # deliberately unsorted
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(x) + rng.normal(0, 0.4, n))
+    spec = parse_formula("y ~| OU(:x)")
+    ck = compile_formula(spec.formula)
+    m = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
+    u = m.position_from(jnp.asarray([1.3]), None)
+    keys = jax.random.split(jax.random.key(1), 3000)
+    _, fs, lps = jax.vmap(lambda k: m.report(k, u))(keys)
+    assert np.isfinite(np.asarray(lps)).all()
+    # exact posterior mean of f = S T^-1 y in ORIGINAL order
+    t = jnp.asarray(x)
+    K = _dense_K(t, 1.3)
+    S = K + 0.1 * jnp.eye(n)
+    mean_f = S @ jnp.linalg.solve(S + 1.0 * jnp.eye(n), y)
+    err = np.abs(np.asarray(fs).mean(axis=0) - np.asarray(mean_f))
+    assert err.max() < 0.12  # MC error at 3000 draws
+
+
+def test_sde_rejects_unsupported_formulas():
+    X = jnp.asarray(np.linspace(0, 1, 10)[:, None])
+    y = jnp.zeros(10)
+    for f, msg in [
+        ("y ~| SqExp(:x)", "OU"),
+        ("y ~| OU(:x) + OU(:x)", "ONE OU"),
+        ("y ~| OU(:x) * Cat(:x)", "product"),
+    ]:
+        spec = parse_formula(f)
+        with pytest.raises(ValueError, match=msg):
+            build_model(compile_formula(spec.formula), ["x"], X, y,
+                        spec.likelihood, approx="sde")
+
+
+def test_cli_sde_end_to_end(tmp_path):
+    """mcmc/select/predict with --approx sde; predict output must match the
+    dense predict to floating point (both deterministic without --mcmc)."""
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(5)
+    n = 40
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + rng.normal(0, 0.5, n)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": y}).to_csv(data, sep="\t", index=False)
+
+    chain = tmp_path / "chain.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| OU(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "40", "--warmup", "100",
+        "--approx", "sde", "--seed", "2", "--output", str(chain),
+    ])
+    assert rc == 0
+    cdf = pd.read_csv(chain, sep="\t")
+    assert "ℓ" in cdf.columns and "lp" in cdf.columns
+    assert np.isfinite(cdf["lp"]).all()
+
+    rc = main([
+        "--platform", "cpu", "select",
+        "--formulae", "y ~| OU(:x; l=1)", "y ~| OU(:x; l=5)",
+        "--data", str(data), "--approx", "sde",
+    ])
+    assert rc == 0
+
+    outs = {}
+    for mode in ("none", "sde"):
+        out = tmp_path / f"pred_{mode}.tsv"
+        rc = main([
+            "--platform", "cpu", "predict", "y ~| OU(:x)", "--data", str(data),
+            "--at", "x=0:0.5:10", "--approx", mode, "--output", str(out),
+            "--seed", "0",
+        ])
+        assert rc == 0
+        outs[mode] = pd.read_csv(out, sep="\t")
+    for col in ("ymu", "yQ050", "yQ950"):
+        np.testing.assert_allclose(outs["sde"][col], outs["none"][col],
+                                   rtol=1e-6, atol=1e-7)
