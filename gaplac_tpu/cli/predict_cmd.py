@@ -158,25 +158,41 @@ def run(args) -> None:
             )
             return mu, jnp.maximum(var, 1e-12)
     elif getattr(args, "approx", "none") == "sde":
-        # exact O((n+nt) log) state-space path for OU (+ Noise) formulas:
-        # two-filter smoothing instead of the dense O(n^3) solve
+        # exact O((n+nt) log) state-space path for OU/Matern/Constant/Linear
+        # (+ Noise) formulas: smoothing instead of the dense O(n^3) solve
         from gaplac_tpu.inference.model import _markov_structure
         from gaplac_tpu.ops import markov
+        from gaplac_tpu.ops import markov_ss as mss
 
-        ou_slot, noise_slots, sort_idx, t_np = _markov_structure(ck, X)
-        ts = jnp.asarray(t_np, dtype)
-        ys_sorted = y[jnp.asarray(sort_idx)]
-        t_new = Xt[:, ck.cols[ou_slot]]
+        st = _markov_structure(ck, X)
+        idx = jnp.asarray(st.sort_idx)
+        ts = jnp.asarray(st.t_sorted, dtype)
+        ys_sorted = y[idx]
+        kinds = tuple(b[0] for b in st.blocks)
+        xs_sorted = [X[:, col][idx] if col >= 0 else None
+                     for _, _, col in st.blocks]
+        xs_new = [Xt[:, col] if col >= 0 else None for _, _, col in st.blocks]
+        # the Markov time axis at test points: the shared OU/Matern column
+        mk = {mss.BLOCK_OU, mss.BLOCK_M32, mss.BLOCK_M52}
+        tcols = [col for k, _, col in st.blocks if k in mk]
+        t_new = (Xt[:, tcols[0]] if tcols
+                 else jnp.arange(Xt.shape[0], dtype=dtype))
 
         def predict_one(theta):
             p = _params(theta)
             j_eff = args.jitter
-            for s in noise_slots:
+            for s in st.noise_slots:
                 j_eff = j_eff + p[s]
-            mu, var_x = markov.ou_posterior_predict(
-                ts, ys_sorted, p[ou_slot], j_eff + sigma2, t_new
-            )
-            # latent at new points = OU + independent jitter/noise diag
+            if st.scalar_ou:
+                mu, var_x = markov.ou_posterior_predict(
+                    ts, ys_sorted, p[st.blocks[0][1]], j_eff + sigma2, t_new
+                )
+            else:
+                mu, var_x = mss.ss_predict(
+                    kinds, [p[li] for _, li, _ in st.blocks], ts, xs_sorted,
+                    ys_sorted, j_eff + sigma2, t_new, xs_new,
+                )
+            # latent at new points = process + independent jitter/noise diag
             return mu, jnp.maximum(var_x + j_eff, 1e-12)
     else:
 

@@ -126,17 +126,27 @@ def run(args) -> None:
 
 def _markov_fixed_lp(args, ck, X, y) -> float:
     """Fixed-hyperparameter logpdf through the exact state-space path
-    (--approx sde): parallel-Kalman log N(y; 0, K_OU + (jitter + s2) I) —
-    O(n log n), exact (ops/markov.py)."""
+    (--approx sde): parallel-Kalman log N(y; 0, K + (jitter + s2) I) —
+    O(n log n), exact (ops/markov.py / ops/markov_ss.py)."""
     from gaplac_tpu.inference.model import _markov_structure
     from gaplac_tpu.ops import markov
+    from gaplac_tpu.ops import markov_ss as mss
 
-    ou_slot, noise_slots, sort_idx, t_np = _markov_structure(ck, X)
+    st = _markov_structure(ck, X)
     p = ck.default_params(X.dtype)
-    j_eff = args.jitter + sum(float(p[s]) for s in noise_slots)
-    ts = jnp.asarray(t_np, X.dtype)
-    ys = jnp.asarray(y)[jnp.asarray(sort_idx)]
-    return float(markov.ou_loglik(ts, ys, p[ou_slot], j_eff))
+    j_eff = args.jitter + sum(float(p[s]) for s in st.noise_slots)
+    idx = jnp.asarray(st.sort_idx)
+    ts = jnp.asarray(st.t_sorted, X.dtype)
+    ys = jnp.asarray(y)[idx]
+    if st.scalar_ou:
+        return float(markov.ou_loglik(ts, ys, p[st.blocks[0][1]], j_eff))
+    A, Q, H = mss.build_steps(
+        tuple(b[0] for b in st.blocks),
+        [p[li] for _, li, _ in st.blocks],
+        ts,
+        [X[:, col][idx] if col >= 0 else None for _, _, col in st.blocks],
+    )
+    return float(mss.ss_loglik(A, Q, H, ys, j_eff))
 
 
 def _lowrank_fixed_lp(args, ck, X, y) -> float:

@@ -249,17 +249,54 @@ def build_gaussian_marginal_lowrank(
                    position_from)
 
 
-def _markov_structure(ck: CompiledKernel, X):
-    """Validate + extract the state-space structure for --approx sde:
-    exactly one OU leaf (the Markov process), plus optional Noise leaves
-    that contribute to the diagonal.  Returns (ou_slot, noise_slots,
-    sort_idx, t_sorted).  Raises with a clear message otherwise."""
+@dataclass(frozen=True)
+class MarkovStructure:
+    """State-space decomposition of an additive formula (--approx sde).
+
+    ``blocks``: per Markov-representable leaf, (block_kind, leaf_slot, col)
+    in formula order — OU / Matern32 / Matern52 / Constant / Linear
+    (ops/markov_ss.py block kinds).  ``noise_slots``: Noise leaves folded
+    into the observation variance.  ``sort_idx`` orders rows by the shared
+    Markov time column (identity when the formula has no Markov leaf).
+    ``scalar_ou``: the single-OU fast path (scalar ops/markov.py)."""
+
+    blocks: Tuple[Tuple[int, int, int], ...]
+    noise_slots: Tuple[int, ...]
+    sort_idx: "object"
+    t_sorted: "object"
+    scalar_ou: bool
+
+
+def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
+    """Validate + extract the state-space structure for --approx sde.
+    Supported: additive formulas of OU / Matern32 / Matern52 / Constant /
+    Linear / Noise leaves, with all OU/Matern leaves on ONE shared column
+    (the Markov time axis).  Raises with a clear message otherwise."""
     import numpy as _np
 
-    from gaplac_tpu.kernels.covariance import K_NOISE, K_OU, KIND_NAMES
+    from gaplac_tpu.kernels.covariance import (
+        K_CONST,
+        K_LINEAR,
+        K_MATERN32,
+        K_MATERN52,
+        K_NOISE,
+        K_OU,
+        KIND_NAMES,
+    )
+    from gaplac_tpu.ops import markov_ss as _ss
 
-    ou_slots = []
+    block_of = {
+        K_OU: _ss.BLOCK_OU,
+        K_MATERN32: _ss.BLOCK_M32,
+        K_MATERN52: _ss.BLOCK_M52,
+        K_CONST: _ss.BLOCK_CONST,
+        K_LINEAR: _ss.BLOCK_LINEAR,
+    }
+    markov_kinds = (K_OU, K_MATERN32, K_MATERN52)
+    blocks = []
     noise_slots = []
+    time_vars = set()
+    time_col = None
     for term in ck.terms:
         if len(term) != 1:
             raise ValueError(
@@ -268,9 +305,7 @@ def _markov_structure(ck: CompiledKernel, X):
             )
         li = term[0]
         kind = ck.kinds[li]
-        if kind == K_OU:
-            ou_slots.append(li)
-        elif kind == K_NOISE:
+        if kind == K_NOISE:
             if ck.cols[li] >= 0:
                 col_vals = _np.asarray(X[:, ck.cols[li]])
                 if len(_np.unique(col_vals)) != col_vals.shape[0]:
@@ -280,22 +315,39 @@ def _markov_structure(ck: CompiledKernel, X):
                         "Noise for per-row noise"
                     )
             noise_slots.append(li)
+        elif kind in block_of:
+            blocks.append((block_of[kind], li, ck.cols[li]))
+            if kind in markov_kinds:
+                # repeated uses of one variable get separate (duplicate)
+                # design columns, so the shared-axis check is by varname
+                time_vars.add(ck.leaf_vars[li])
+                if time_col is None:
+                    time_col = ck.cols[li]
         else:
             raise ValueError(
-                f"--approx sde supports OU (+ Noise) formulas; got "
-                f"{KIND_NAMES[kind]}.  The OU kernel is the exact "
-                f"Gauss-Markov case; use --approx rff for other kernels"
+                f"--approx sde supports additive OU / Matern32 / Matern52 / "
+                f"Constant / Linear / Noise formulas; got {KIND_NAMES[kind]} "
+                f"(no exact finite-dimensional state-space form; use "
+                f"--approx rff)"
             )
-    if len(ou_slots) != 1:
+    if len(time_vars) > 1:
         raise ValueError(
-            f"--approx sde needs exactly ONE OU leaf (got {len(ou_slots)}); "
-            "sums of several OU processes need a multi-dimensional state "
-            "(not implemented)"
+            "--approx sde needs all OU/Matern leaves on ONE shared column "
+            f"(the Markov time axis); got variables {sorted(time_vars)}"
         )
-    ou = ou_slots[0]
-    t = _np.asarray(X[:, ck.cols[ou]])
+    if not blocks:
+        raise ValueError("--approx sde needs at least one kernel leaf")
+    if time_col is not None:
+        t = _np.asarray(X[:, time_col])
+    else:
+        # no Markov leaf: ordering is irrelevant (all transitions identity)
+        t = _np.arange(X.shape[0], dtype=float)
     sort_idx = _np.argsort(t, kind="stable")
-    return ou, tuple(noise_slots), sort_idx, t[sort_idx]
+    scalar_ou = (
+        len(blocks) == 1 and blocks[0][0] == _ss.BLOCK_OU
+    )
+    return MarkovStructure(tuple(blocks), tuple(noise_slots), sort_idx,
+                           t[sort_idx], scalar_ou)
 
 
 def build_gaussian_marginal_markov(
@@ -307,11 +359,14 @@ def build_gaussian_marginal_markov(
     obs_sigma2: float = 1.0,
     prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
 ) -> GPModel:
-    """EXACT state-space marginal for OU formulas (--approx sde):
-    θ -> log N(y; 0, K_OU(ℓ) + (jitter + Σ s2 + σ²) I) by parallel Kalman
-    filtering (ops/markov.py) — O(n log n) work, O(log n) depth, no n×n
-    gram and no Cholesky.  Same posterior as ``build_gaussian_marginal``
-    to floating point; scales to millions of observations.
+    """EXACT state-space marginal for additive OU / Matern32 / Matern52 /
+    Constant / Linear (+ Noise) formulas (--approx sde):
+    θ -> log N(y; 0, K(θ) + (jitter + Σ s2 + σ²) I) by parallel Kalman
+    filtering — O(n log n) work, O(log n) depth, no n×n gram and no
+    Cholesky.  Single-OU formulas take the scalar fast path (ops/markov.py);
+    everything else runs the block-diagonal matrix state (ops/markov_ss.py).
+    Same posterior as ``build_gaussian_marginal`` to floating point; scales
+    to millions of observations.
 
     The chain report draws the latent exactly via Matheron pathwise
     conditioning, all through the same associative-scan primitives:
@@ -321,51 +376,86 @@ def build_gaussian_marginal_markov(
     import numpy as _np
 
     from gaplac_tpu.ops import markov
+    from gaplac_tpu.ops import markov_ss as mss
 
     tr = as_prior(prior_bounds)
     nh = len(slot_groups)
     n = y.shape[0]
     dtype = X.dtype
     params_from = _params_from(ck, slot_groups, dtype)
-    ou_slot, noise_slots, sort_idx, t_np = _markov_structure(ck, X)
-    ts = jnp.asarray(t_np, dtype)
-    idx = jnp.asarray(sort_idx)
-    inv_idx = jnp.asarray(_np.argsort(sort_idx))
+    st = _markov_structure(ck, X)
+    ts = jnp.asarray(st.t_sorted, dtype)
+    idx = jnp.asarray(st.sort_idx)
+    inv_idx = jnp.asarray(_np.argsort(st.sort_idx))
     ys = jnp.asarray(y, dtype)[idx]
+    kinds = tuple(b[0] for b in st.blocks)
+    xs_sorted = tuple(
+        jnp.asarray(X[:, col], dtype)[idx] if col >= 0 else None
+        for _, _, col in st.blocks
+    )
 
-    def _ell_jeff(theta):
-        p = params_from(theta)
-        ell = p[ou_slot]
+    def _jeff(p):
         j_eff = jnp.asarray(jitter, dtype)
-        for s in noise_slots:
+        for s in st.noise_slots:
             j_eff = j_eff + p[s]
-        return ell, j_eff
+        return j_eff
+
+    if st.scalar_ou:
+        ou_slot = st.blocks[0][1]
+
+        def latent_loglik(p, vals, R):
+            return markov.ou_loglik(ts, vals, p[ou_slot], R)
+
+        def smooth_mean(p, vals, R):
+            return markov.ou_smooth(ts, vals, p[ou_slot], R)[0]
+
+        def prior_path(key, p):
+            return markov.ou_prior_sample(key, ts, p[ou_slot])
+    else:
+
+        def _steps(p):
+            return mss.build_steps(kinds, [p[li] for _, li, _ in st.blocks],
+                                   ts, xs_sorted)
+
+        def latent_loglik(p, vals, R):
+            A, Q, H = _steps(p)
+            return mss.ss_loglik(A, Q, H, vals, R)
+
+        def smooth_mean(p, vals, R):
+            A, Q, H = _steps(p)
+            m_s, _ = mss.ss_smooth(A, Q, H, vals, R)
+            return jnp.einsum("nd,nd->n", H, m_s)
+
+        def prior_path(key, p):
+            A, Q, H = _steps(p)
+            return jnp.einsum("nd,nd->n", H, mss.ss_prior_sample(key, A, Q))
 
     def logdensity(u: jnp.ndarray) -> jnp.ndarray:
         theta = tr.forward(u)
-        ell, j_eff = _ell_jeff(theta)
+        p = params_from(theta)
         return (
-            markov.ou_loglik(ts, ys, ell, j_eff + obs_sigma2)
+            latent_loglik(p, ys, _jeff(p) + obs_sigma2)
             + jnp.sum(tr.logprior_u(u))
         )
 
     def report(key: jax.Array, u: jnp.ndarray):
         theta = tr.forward(u)
-        ell, j_eff = _ell_jeff(theta)
+        p = params_from(theta)
+        j_eff = _jeff(p)
         kx, kj, ke = jax.random.split(key, 3)
         # Matheron: prior draw f* = x* + sqrt(j_eff) ζ, obs-noise draw ε*
-        x_star = markov.ou_prior_sample(kx, ts, ell)
+        x_star = prior_path(kx, p)
         f_star = x_star + jnp.sqrt(j_eff) * jax.random.normal(kj, (n,), dtype)
         eps = jnp.sqrt(jnp.asarray(obs_sigma2, dtype)) * jax.random.normal(
             ke, (n,), dtype
         )
         r = ys - f_star - eps
-        m_x, _ = markov.ou_smooth(ts, r, ell, j_eff + obs_sigma2)
+        m_x = smooth_mean(p, r, j_eff + obs_sigma2)
         corr = m_x + j_eff * (r - m_x) / (j_eff + obs_sigma2)
         f_sorted = f_star + corr
         lp = (
             jnp.sum(tr.logprior_x(theta))
-            + markov.ou_loglik(ts, f_sorted, ell, j_eff)
+            + latent_loglik(p, f_sorted, j_eff)
             + jnp.sum(
                 -0.5 * ((ys - f_sorted) ** 2 / obs_sigma2
                         + jnp.log(obs_sigma2) + _LOG_2PI)

@@ -1,0 +1,326 @@
+"""Matrix-state parallel Kalman: exact state-space marginals for additive
+OU / Matern32 / Matern52 / Constant / Linear (+ Noise) formulas.
+
+Generalizes ops/markov.py's scalar OU path to a d-dimensional Gauss-Markov
+state.  Each kernel leaf contributes a state block:
+
+  OU(l)        d=1  F = -λ,  λ = 1/l,        P∞ = 1,              H = [1]
+  Matern32(l)  d=2  λ = √3/l, F companion,   P∞ = diag(1, λ²),    H = [1,0]
+  Matern52(l)  d=3  λ = √5/l, F companion,   P∞ = [[1,0,-λ²/3],
+                                                    [0,λ²/3,0],
+                                                    [-λ²/3,0,λ⁴]], H = [1,0,0]
+  Constant(c)  d=1  A = 1, Q = 0,            P∞ = c,              H = [1]
+  Linear(:x,c) d=2  A = I, Q = 0,            P∞ = diag(1, c),     H_k = [x_k, 1]
+                    (k(x,x') = x·x' + c = [x,1] diag(1,c) [x',1]ᵀ)
+  Noise        —    adds to the observation variance R
+
+Critically damped Matern blocks have transition exp(FΔ) = e^{-λΔ} Σ (NΔ)^j/j!
+with N = F + λI nilpotent (char. poly (s+λ)^ν), so A_k is a short polynomial
+— no matrix exponential.  Process noise over a step is Q_k = P∞ − A_k P∞ A_kᵀ
+for every stationary block (and 0 for the static A=I blocks), so one formula
+covers all leaves.  The Matern52 P∞ comes from the Lyapunov equation
+F P + P Fᵀ + L q Lᵀ = 0 with q = 16/3 λ⁵ (unit marginal variance).
+
+Filtering uses the associative element algebra of ops/markov.py with the
+matrix combine
+
+    D = I + C1 J2
+    A = A2 D⁻¹ A1               η = A1ᵀ Dᵀ⁻¹ (η2 − J2 b1) + η1
+    b = A2 D⁻¹ (b1 + C1 η2) + b2    (Dᵀ = I + J2 C1)
+    C = A2 D⁻¹ C1 A2ᵀ + C2      J = A1ᵀ Dᵀ⁻¹ J2 A1 + J1
+
+evaluated with ``lax.associative_scan``: O(n log n · d³) work, O(log n)
+depth.  Exact vs the dense MVN marginal (tested).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class _MElems(NamedTuple):
+    A: jnp.ndarray    # (n, d, d)
+    b: jnp.ndarray    # (n, d)
+    C: jnp.ndarray    # (n, d, d)
+    eta: jnp.ndarray  # (n, d)
+    J: jnp.ndarray    # (n, d, d)
+
+
+def _mcombine(e1: _MElems, e2: _MElems) -> _MElems:
+    d = e1.A.shape[-1]
+    I = jnp.eye(d, dtype=e1.A.dtype)
+    D = I + e1.C @ e2.J                       # (n, d, d)
+    Dt = I + e2.J @ e1.C
+    # solves against small (d, d) batches; (I + C J) with C, J PSD is
+    # nonsingular (eigenvalues of CJ are >= 0)
+    sol = lambda M, B: jnp.linalg.solve(M, B)
+    A = e2.A @ sol(D, e1.A)
+    b = (e2.A @ sol(D, (e1.b + (e1.C @ e2.eta[..., None])[..., 0])[..., None]))[..., 0] + e2.b
+    C = e2.A @ sol(D, e1.C) @ jnp.swapaxes(e2.A, -1, -2) + e2.C
+    rhs = e2.eta - (e2.J @ e1.b[..., None])[..., 0]
+    eta = (jnp.swapaxes(e1.A, -1, -2) @ sol(Dt, rhs[..., None]))[..., 0] + e1.eta
+    J = jnp.swapaxes(e1.A, -1, -2) @ sol(Dt, e2.J) @ e1.A + e1.J
+    return _MElems(A, b, C, eta, J)
+
+
+# ---------------------------------------------------------------------------
+# Leaf state blocks
+# ---------------------------------------------------------------------------
+
+#: leaf block kinds understood by build_blocks
+BLOCK_OU, BLOCK_M32, BLOCK_M52, BLOCK_CONST, BLOCK_LINEAR = range(5)
+
+_BLOCK_DIM = {BLOCK_OU: 1, BLOCK_M32: 2, BLOCK_M52: 3, BLOCK_CONST: 1,
+              BLOCK_LINEAR: 2}
+
+
+def _block_APH(kind: int, dt: jnp.ndarray, param, x: jnp.ndarray):
+    """Per-step transition A (n,d,d), stationary P∞ (n,d,d) and measurement
+    row H (n,d) for one leaf block.  ``dt`` is (n,) with dt[0] arbitrary
+    (the first element uses A=0); ``x`` is the leaf's data column (Linear)."""
+    n = dt.shape[0]
+    dtype = dt.dtype
+    if kind == BLOCK_OU:
+        lam = 1.0 / param
+        A = jnp.exp(-lam * dt)[:, None, None]
+        P = jnp.ones((n, 1, 1), dtype)
+        H = jnp.ones((n, 1), dtype)
+        return A, P, H
+    if kind == BLOCK_M32:
+        lam = 3.0 ** 0.5 / param
+        e = jnp.exp(-lam * dt)
+        # N = F + λI = [[λ, 1], [-λ², -λ]], N² = 0 → A = e^{-λΔ}(I + NΔ)
+        A = e[:, None, None] * jnp.stack([
+            jnp.stack([1.0 + lam * dt, dt], -1),
+            jnp.stack([-(lam ** 2) * dt, 1.0 - lam * dt], -1),
+        ], -2)
+        P1 = jnp.asarray([[1.0, 0.0], [0.0, 0.0]], dtype)
+        P2 = jnp.asarray([[0.0, 0.0], [0.0, 1.0]], dtype)
+        P = jnp.broadcast_to(P1 + lam ** 2 * P2, (n, 2, 2))
+        H = jnp.broadcast_to(jnp.asarray([1.0, 0.0], dtype), (n, 2))
+        return A, P, H
+    if kind == BLOCK_M52:
+        lam = 5.0 ** 0.5 / param
+        e = jnp.exp(-lam * dt)
+        l2 = lam * lam
+        # N = F + λI with F companion of (s+λ)³; N³ = 0:
+        # N = [[λ,1,0],[0,λ,1],[-λ³,-3λ²,-2λ]] + ... derive rows directly:
+        # F = [[0,1,0],[0,0,1],[-λ³,-3λ²,-3λ]], N = F + λI
+        # A = e^{-λΔ}(I + NΔ + N²Δ²/2)
+        one = jnp.ones_like(dt)
+        N = jnp.stack([
+            jnp.stack([lam * one, one, 0.0 * one], -1),
+            jnp.stack([0.0 * one, lam * one, one], -1),
+            jnp.stack([-(lam ** 3) * one, -3.0 * l2 * one, -2.0 * lam * one], -1),
+        ], -2)
+        N2 = N @ N
+        I3 = jnp.eye(3, dtype=dtype)
+        A = e[:, None, None] * (
+            I3 + N * dt[:, None, None] + 0.5 * N2 * (dt ** 2)[:, None, None]
+        )
+        P = jnp.broadcast_to(jnp.stack([
+            jnp.stack([jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype), -l2 / 3.0]),
+            jnp.stack([jnp.asarray(0.0, dtype), l2 / 3.0, jnp.asarray(0.0, dtype)]),
+            jnp.stack([-l2 / 3.0, jnp.asarray(0.0, dtype), l2 * l2]),
+        ]), (n, 3, 3))
+        H = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype), (n, 3))
+        return A, P, H
+    if kind == BLOCK_CONST:
+        A = jnp.ones((n, 1, 1), dtype)
+        # clamp: a zero-variance static state makes the smoother's predicted
+        # covariance singular (e.g. Constant(0)); 1e-12 is exact to f64 fp
+        c = jnp.maximum(jnp.asarray(param, dtype).reshape(()), 1e-12)
+        P = jnp.broadcast_to(jnp.reshape(c, (1, 1)), (n, 1, 1))
+        H = jnp.ones((n, 1), dtype)
+        return A, P, H
+    if kind == BLOCK_LINEAR:
+        A = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (n, 2, 2))
+        c = jnp.maximum(jnp.asarray(param, dtype).reshape(()), 1e-12)
+        P = jnp.broadcast_to(
+            jnp.stack([
+                jnp.stack([jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype)]),
+                jnp.stack([jnp.asarray(0.0, dtype), c]),
+            ]), (n, 2, 2))
+        H = jnp.stack([x, jnp.ones((n,), dtype)], -1)
+        return A, P, H
+    raise ValueError(f"unknown block kind {kind}")
+
+
+def build_steps(
+    kinds: Sequence[int],
+    params: Sequence,
+    t: jnp.ndarray,
+    xs: Sequence,
+):
+    """Assemble block-diagonal per-step (A, Q, H) for the additive model on
+    SORTED t.  ``params`` per leaf (lengthscale / variance), ``xs`` per leaf
+    data column (only used by Linear; pass None otherwise).  Step 0's A is
+    zeroed and its Q set to P∞ (the stationary prior)."""
+    n = t.shape[0]
+    dtype = t.dtype
+    dt = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(t)])
+    As, Ps, Hs = [], [], []
+    for kind, p, x in zip(kinds, params, xs):
+        A, P, H = _block_APH(kind, dt, p, x)
+        As.append(A)
+        Ps.append(P)
+        Hs.append(H)
+    d = sum(_BLOCK_DIM[k] for k in kinds)
+    A = jnp.zeros((n, d, d), dtype)
+    P = jnp.zeros((n, d, d), dtype)
+    off = 0
+    for kind, Ab, Pb in zip(kinds, As, Ps):
+        db = _BLOCK_DIM[kind]
+        A = A.at[:, off:off + db, off:off + db].set(Ab)
+        P = P.at[:, off:off + db, off:off + db].set(Pb)
+        off += db
+    H = jnp.concatenate(Hs, -1)
+    Q = P - A @ P @ jnp.swapaxes(A, -1, -2)
+    # first step: stationary prior
+    A = A.at[0].set(0.0)
+    Q = Q.at[0].set(P[0])
+    return A, Q, H
+
+
+def ss_filter(A, Q, H, y, R, obs=None):
+    """Parallel Kalman filter: filtered means (n,d) and covariances (n,d,d)
+    for x_k = A_k x_{k-1} + N(0, Q_k), y_k = H_k·x_k + N(0, R_k).  ``obs``
+    (bool (n,)) masks out unobserved points (they contribute no update)."""
+    n, d, _ = A.shape
+    dtype = A.dtype
+    Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
+    QH = (Q @ H[..., None])[..., 0]                        # (n, d)
+    S = jnp.einsum("nd,nd->n", H, QH) + Rv                 # (n,)
+    K = QH / S[:, None]                                    # (n, d)
+    w = (jnp.ones((n,), dtype) if obs is None
+         else jnp.asarray(obs, dtype))
+    K = K * w[:, None]
+    I = jnp.eye(d, dtype=dtype)
+    ImKH = I - K[:, :, None] * H[:, None, :]
+    HA = jnp.einsum("nd,nde->ne", H, A)                    # (n, d) = Hᵀ A
+    elems = _MElems(
+        A=ImKH @ A,
+        b=K * y[:, None],
+        C=ImKH @ Q,
+        eta=HA * (w * y / S)[:, None],
+        J=HA[:, :, None] * HA[:, None, :] * (w / S)[:, None, None],
+    )
+    pre = lax.associative_scan(_mcombine, elems)
+    return pre.b, pre.C
+
+
+def ss_loglik(A, Q, H, y, R):
+    """log N(y; 0, K + diag(R)) by prediction-error decomposition — the
+    matrix-state generalization of markov.ou_loglik."""
+    n, d, _ = A.shape
+    dtype = A.dtype
+    Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
+    m_f, P_f = ss_filter(A, Q, H, y, R)
+    m_prev = jnp.concatenate([jnp.zeros((1, d), dtype), m_f[:-1]])
+    P_prev = jnp.concatenate([jnp.zeros((1, d, d), dtype), P_f[:-1]])
+    m_pred = (A @ m_prev[..., None])[..., 0]               # (n, d)
+    P_pred = A @ P_prev @ jnp.swapaxes(A, -1, -2) + Q
+    mean = jnp.einsum("nd,nd->n", H, m_pred)
+    S = jnp.einsum("nd,nde,ne->n", H, P_pred, H) + Rv
+    r = y - mean
+    return jnp.sum(-0.5 * (r * r / S + jnp.log(S) + _LOG_2PI))
+
+
+class _SElems(NamedTuple):
+    E: jnp.ndarray    # (n, d, d)
+    g: jnp.ndarray    # (n, d)
+    L: jnp.ndarray    # (n, d, d)
+
+
+def _scombine(a: _SElems, b: _SElems) -> _SElems:
+    # composes m_k = E_k m_{k+1} + g_k backward recurrences.  Under
+    # associative_scan(reverse=True) (flip-scan-flip), the FIRST argument
+    # is the element nearer the END of the original array: a = suffix for
+    # k+1.., b = element at k.
+    E = b.E @ a.E
+    g = (b.E @ a.g[..., None])[..., 0] + b.g
+    L = b.E @ a.L @ jnp.swapaxes(b.E, -1, -2) + b.L
+    return _SElems(E, g, L)
+
+
+def ss_smooth(A, Q, H, y, R, obs=None):
+    """Smoothed posterior N(m_s, P_s) of the state at every point — the
+    parallel RTS pass: smoothing elements (E, g, L) with
+        E_k = P_f_k A_{k+1}ᵀ (A_{k+1} P_f_k A_{k+1}ᵀ + Q_{k+1})⁻¹
+        g_k = m_f_k − E_k A_{k+1} m_f_k
+        L_k = P_f_k − E_k (A_{k+1} P_f_k A_{k+1}ᵀ + Q_{k+1}) E_kᵀ
+    composed by a REVERSE associative scan (m_s_k = E_k m_s_{k+1} + g_k)."""
+    n, d, _ = A.shape
+    dtype = A.dtype
+    m_f, P_f = ss_filter(A, Q, H, y, R, obs=obs)
+    A1 = A[1:]                                             # transition k -> k+1
+    Pp = A1 @ P_f[:-1] @ jnp.swapaxes(A1, -1, -2) + Q[1:]  # predicted cov at k+1
+    # E = P_f A1ᵀ Pp⁻¹  (solve on the transposed system)
+    E = jnp.swapaxes(
+        jnp.linalg.solve(Pp, A1 @ P_f[:-1]), -1, -2
+    )
+    g = m_f[:-1] - (E @ (A1 @ m_f[:-1][..., None]))[..., 0]
+    L = P_f[:-1] - E @ Pp @ jnp.swapaxes(E, -1, -2)
+    zero = jnp.zeros((1, d, d), dtype)
+    elems = _SElems(
+        E=jnp.concatenate([E, zero]),
+        g=jnp.concatenate([g, m_f[-1:]]),
+        L=jnp.concatenate([L, P_f[-1:]]),
+    )
+    suf = lax.associative_scan(_scombine, elems, reverse=True)
+    return suf.g, suf.L
+
+
+def ss_prior_sample(key, A, Q):
+    """One exact prior state path x ~ the Gauss-Markov prior, via the matrix
+    linear recurrence x_k = A_k x_{k-1} + L_k z_k (L_k L_kᵀ = Q_k) as an
+    associative scan.  Q's cholesky goes through the custom-call-free sweep
+    (ops/cholesky.py) — Q may be singular (static blocks), which the guarded
+    sweep maps to zero columns."""
+    from gaplac_tpu.ops.cholesky import cholesky_nocc
+
+    n, d, _ = A.shape
+    Lq = cholesky_nocc(Q)
+    z = jax.random.normal(key, (n, d), A.dtype)
+    b = (Lq @ z[..., None])[..., 0]
+
+    def comb(e1, e2):
+        return e2[0] @ e1[0], (e2[0] @ e1[1][..., None])[..., 0] + e2[1]
+
+    _, x = lax.associative_scan(comb, (A, b))
+    return x
+
+
+def ss_predict(kinds, params, t, xs, y, R, t_new, xs_new):
+    """Posterior latent mean/var (H·x only) at t_new given observations
+    (t, y) with obs variance R — matrix-state analogue of
+    markov.ou_posterior_predict: new points join the sequence unobserved,
+    one smoothing pass, read off H m_s / H P_s Hᵀ."""
+    n, m = t.shape[0], t_new.shape[0]
+    tj = jnp.concatenate([t, t_new])
+    yj = jnp.concatenate([y, jnp.zeros((m,), y.dtype)])
+    obs = jnp.concatenate([jnp.ones((n,), bool), jnp.zeros((m,), bool)])
+    Rv = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(R, y.dtype), (n,)),
+        jnp.ones((m,), y.dtype),
+    ])
+    xs_j = [
+        None if xo is None else jnp.concatenate([xo, xn])
+        for xo, xn in zip(xs, xs_new)
+    ]
+    order = jnp.argsort(tj)
+    xs_s = [None if x is None else x[order] for x in xs_j]
+    A, Q, H = build_steps(kinds, params, tj[order], xs_s)
+    m_s, P_s = ss_smooth(A, Q, H, yj[order], Rv[order], obs=obs[order])
+    mu = jnp.einsum("nd,nd->n", H, m_s)
+    var = jnp.einsum("nd,nde,ne->n", H, P_s, H)
+    inv = jnp.argsort(order)
+    return mu[inv][n:], var[inv][n:]

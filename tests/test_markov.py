@@ -126,18 +126,153 @@ def test_model_report_latents_match_posterior_mean():
     assert err.max() < 0.12  # MC error at 3000 draws
 
 
+def _kfun(kind, param):
+    from gaplac_tpu.ops import markov_ss as ss
+
+    d = lambda a, b: jnp.abs(a[:, None] - b[None, :])
+    if kind == 0:  # OU
+        return lambda t: jnp.exp(-d(t, t) / param)
+    if kind == 1:  # Matern32
+        lam = 3.0 ** 0.5 / param
+        return lambda t: (1 + lam * d(t, t)) * jnp.exp(-lam * d(t, t))
+    if kind == 2:  # Matern52
+        lam = 5.0 ** 0.5 / param
+        return lambda t: (1 + lam * d(t, t) + lam ** 2 * d(t, t) ** 2 / 3.0) \
+            * jnp.exp(-lam * d(t, t))
+    if kind == 3:  # Constant
+        return lambda t: param * jnp.ones((t.shape[0], t.shape[0]))
+    if kind == 4:  # Linear
+        return lambda t: t[:, None] * t[None, :] + param
+
+
+@pytest.mark.parametrize("kind,param", [(0, 1.3), (1, 0.9), (2, 1.7),
+                                        (3, 0.7), (4, 0.5)])
+def test_ss_block_loglik_matches_dense(kind, param):
+    from gaplac_tpu.ops import markov_ss as ss
+
+    rng = np.random.default_rng(kind)
+    n, R = 35, 0.4
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(rng.standard_normal(n))
+    xs = [t if kind == ss.BLOCK_LINEAR else None]
+    A, Q, H = ss.build_steps([kind], [param], t, xs)
+    lp = float(ss.ss_loglik(A, Q, H, y, R))
+    lp_d = float(mvn.mvn_logpdf(_kfun(kind, param)(t) + R * jnp.eye(n), y))
+    assert abs(lp - lp_d) < 1e-8 * max(1.0, abs(lp_d))
+
+
+def test_ss_smooth_and_predict_match_dense():
+    from gaplac_tpu.ops import markov_ss as ss
+
+    rng = np.random.default_rng(0)
+    n, m, R = 40, 12, 0.4
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(rng.standard_normal(n))
+    tn = jnp.asarray(np.sort(rng.uniform(-1, 11, m)))
+    kinds = [ss.BLOCK_M32, ss.BLOCK_LINEAR, ss.BLOCK_CONST]
+    params = [0.9, 0.5, 0.7]
+    kf = lambda a: sum(_kfun(k, p)(a) for k, p in zip(kinds, params))
+    lam = 3.0 ** 0.5 / 0.9
+    d = lambda a, b: jnp.abs(a[:, None] - b[None, :])
+    kxf = lambda a, b: ((1 + lam * d(a, b)) * jnp.exp(-lam * d(a, b))
+                        + a[:, None] * b[None, :] + 0.5 + 0.7)
+    Kxx = kxf(t, t)
+    sol = jnp.linalg.solve(Kxx + R * jnp.eye(n), jnp.eye(n))
+    A, Q, H = ss.build_steps(kinds, params, t, [None, t, None])
+    m_s, _ = ss.ss_smooth(A, Q, H, y, R)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("nd,nd->n", H, m_s)),
+        np.asarray(Kxx @ sol @ y), atol=1e-9,
+    )
+    Ktx = kxf(tn, t)
+    mu_d = Ktx @ sol @ y
+    var_d = jnp.diag(kxf(tn, tn)) - jnp.einsum("md,de,me->m", Ktx, sol, Ktx)
+    mu_s, var_s = ss.ss_predict(kinds, params, t, [None, t, None], y, R, tn,
+                                [None, tn, None])
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_d), atol=1e-8)
+
+
 def test_sde_rejects_unsupported_formulas():
     X = jnp.asarray(np.linspace(0, 1, 10)[:, None])
     y = jnp.zeros(10)
     for f, msg in [
-        ("y ~| SqExp(:x)", "OU"),
-        ("y ~| OU(:x) + OU(:x)", "ONE OU"),
+        ("y ~| SqExp(:x)", "rff"),
+        ("y ~| Periodic(:x)", "rff"),
         ("y ~| OU(:x) * Cat(:x)", "product"),
     ]:
         spec = parse_formula(f)
         with pytest.raises(ValueError, match=msg):
             build_model(compile_formula(spec.formula), ["x"], X, y,
                         spec.likelihood, approx="sde")
+    # two Markov leaves on DIFFERENT columns: no shared time axis
+    spec = parse_formula("y ~| OU(:x) + Matern32(:t)")
+    X2 = jnp.asarray(np.column_stack([np.linspace(0, 1, 10),
+                                      np.linspace(2, 3, 10)]))
+    with pytest.raises(ValueError, match="shared column"):
+        build_model(compile_formula(spec.formula), ["x"], X2, y,
+                    spec.likelihood, approx="sde")
+
+
+def test_model_logdensity_matches_dense_matrix_state():
+    """The matrix-state path (Matern32 + Matern52 + OU + Linear + Constant
+    + Noise sum) must equal the dense marginalized model pointwise in value
+    and gradient — the full block-diagonal exactness check."""
+    rng = np.random.default_rng(12)
+    n = 40
+    x = np.sort(rng.uniform(0, 10, n))
+    # one design column per leaf occurrence (reference column semantics)
+    X = jnp.asarray(np.repeat(x[:, None], 4, axis=1))
+    y = jnp.asarray(np.sin(x) + rng.normal(0, 0.5, n))
+    spec = parse_formula(
+        "y ~| OU(:x) + Matern32(:x) + Matern52(:x) + Linear(:x) + Constant(0.7) + Noise"
+    )
+    ck = compile_formula(spec.formula)
+    m_sde = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
+    m_dense = build_model(ck, ["x"], X, y, spec.likelihood)
+    for seed in range(4):
+        u = jax.random.uniform(jax.random.key(seed), (m_sde.dim,), minval=-1.5,
+                               maxval=1.5)
+        a = float(m_sde.logdensity(u))
+        b = float(m_dense.logdensity(u))
+        assert abs(a - b) < 1e-6 * max(1.0, abs(b))
+        ga = np.asarray(jax.grad(m_sde.logdensity)(u))
+        gb = np.asarray(jax.grad(m_dense.logdensity)(u))
+        np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-7)
+    # double-OU on one column also works (2-dim state)
+    spec2 = parse_formula("y ~| OU(:x; l=0.5) + OU(:x; l=4.0)")
+    ck2 = compile_formula(spec2.formula)
+    m2 = build_model(ck2, ["x"], X, y, spec2.likelihood, approx="sde",
+                     shared_hyper=False)
+    m2d = build_model(ck2, ["x"], X, y, spec2.likelihood, shared_hyper=False)
+    u = jnp.asarray([0.3, -0.4])
+    assert abs(float(m2.logdensity(u)) - float(m2d.logdensity(u))) < 1e-7
+
+
+def test_cli_sde_matrix_predict_matches_dense(tmp_path):
+    """predict --approx sde on a Matern32 + Linear formula reproduces the
+    dense predict table (matrix-state smoother path through the CLI)."""
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(8)
+    n = 35
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * x + rng.normal(0, 0.4, n)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": y}).to_csv(data, sep="\t", index=False)
+    outs = {}
+    for mode in ("none", "sde"):
+        out = tmp_path / f"pred_{mode}.tsv"
+        rc = main([
+            "--platform", "cpu", "predict", "y ~| Matern32(:x) + Linear(:x)",
+            "--data", str(data), "--at", "x=0:0.5:10", "--approx", mode,
+            "--output", str(out), "--seed", "0",
+        ])
+        assert rc == 0
+        outs[mode] = pd.read_csv(out, sep="\t")
+    for col in ("ymu", "yQ050", "yQ950"):
+        np.testing.assert_allclose(outs["sde"][col], outs["none"][col],
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_cli_sde_end_to_end(tmp_path):
