@@ -158,25 +158,30 @@ def run(args) -> None:
             )
             return mu, jnp.maximum(var, 1e-12)
     elif getattr(args, "approx", "none") == "sde":
-        # exact O((n+nt) log) state-space path for OU/Matern/Constant/Linear
-        # (+ Noise) formulas: smoothing instead of the dense O(n^3) solve
-        from gaplac_tpu.inference.model import _markov_structure
+        # exact O((n+nt) log) state-space path for (possibly Cat-grouped)
+        # OU/Matern/Constant/Linear (+ Noise) formulas: smoothing instead of
+        # the dense O(n^3) solve
+        from gaplac_tpu.inference.model import (
+            _markov_structure, markov_order_resets,
+        )
         from gaplac_tpu.ops import markov
         from gaplac_tpu.ops import markov_ss as mss
 
         st = _markov_structure(ck, X)
-        idx = jnp.asarray(st.sort_idx)
-        ts = jnp.asarray(st.t_sorted, dtype)
-        ys_sorted = y[idx]
         kinds = tuple(b[0] for b in st.blocks)
-        xs_sorted = [X[:, col][idx] if col >= 0 else None
-                     for _, _, col in st.blocks]
+        # joined train+test sort order / group-reset masks (static)
+        order_j, _, resets_j = markov_order_resets(
+            st, np.vstack([X_np, Xt_np])
+        )
+        order_j = jnp.asarray(order_j)
+        if st.time_col >= 0:
+            t_train, t_new = X[:, st.time_col], Xt[:, st.time_col]
+        else:  # no Markov leaf: transitions are dt-independent
+            n_tr = X.shape[0]
+            t_train = jnp.arange(n_tr, dtype=dtype)
+            t_new = n_tr + jnp.arange(Xt.shape[0], dtype=dtype)
+        xs_train = [X[:, col] if col >= 0 else None for _, _, col in st.blocks]
         xs_new = [Xt[:, col] if col >= 0 else None for _, _, col in st.blocks]
-        # the Markov time axis at test points: the shared OU/Matern column
-        mk = {mss.BLOCK_OU, mss.BLOCK_M32, mss.BLOCK_M52}
-        tcols = [col for k, _, col in st.blocks if k in mk]
-        t_new = (Xt[:, tcols[0]] if tcols
-                 else jnp.arange(Xt.shape[0], dtype=dtype))
 
         def predict_one(theta):
             p = _params(theta)
@@ -184,13 +189,18 @@ def run(args) -> None:
             for s in st.noise_slots:
                 j_eff = j_eff + p[s]
             if st.scalar_ou:
+                idx = jnp.asarray(st.sort_idx)
                 mu, var_x = markov.ou_posterior_predict(
-                    ts, ys_sorted, p[st.blocks[0][1]], j_eff + sigma2, t_new
+                    jnp.asarray(st.t_sorted, dtype), y[idx],
+                    p[st.blocks[0][1]], j_eff + sigma2, t_new
                 )
             else:
+                vals = [jnp.asarray(1.0, dtype) if li < 0 else p[li]
+                        for _, li, _ in st.blocks]
                 mu, var_x = mss.ss_predict(
-                    kinds, [p[li] for _, li, _ in st.blocks], ts, xs_sorted,
-                    ys_sorted, j_eff + sigma2, t_new, xs_new,
+                    kinds, vals, t_train, xs_train,
+                    y, j_eff + sigma2, t_new, xs_new,
+                    order=order_j, resets=resets_j,
                 )
             # latent at new points = process + independent jitter/noise diag
             return mu, jnp.maximum(var_x + j_eff, 1e-12)

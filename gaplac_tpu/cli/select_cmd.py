@@ -142,9 +142,11 @@ def _markov_fixed_lp(args, ck, X, y) -> float:
         return float(markov.ou_loglik(ts, ys, p[st.blocks[0][1]], j_eff))
     A, Q, H = mss.build_steps(
         tuple(b[0] for b in st.blocks),
-        [p[li] for _, li, _ in st.blocks],
+        [jnp.asarray(1.0, X.dtype) if li < 0 else p[li]
+         for _, li, _ in st.blocks],
         ts,
         [X[:, col][idx] if col >= 0 else None for _, _, col in st.blocks],
+        resets=st.resets,
     )
     return float(mss.ss_loglik(A, Q, H, ys, j_eff))
 

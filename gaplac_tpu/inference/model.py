@@ -251,30 +251,91 @@ def build_gaussian_marginal_lowrank(
 
 @dataclass(frozen=True)
 class MarkovStructure:
-    """State-space decomposition of an additive formula (--approx sde).
+    """State-space decomposition of a formula (--approx sde).
 
-    ``blocks``: per Markov-representable leaf, (block_kind, leaf_slot, col)
-    in formula order — OU / Matern32 / Matern52 / Constant / Linear
-    (ops/markov_ss.py block kinds).  ``noise_slots``: Noise leaves folded
-    into the observation variance.  ``sort_idx`` orders rows by the shared
-    Markov time column (identity when the formula has no Markov leaf).
-    ``scalar_ou``: the single-OU fast path (scalar ops/markov.py)."""
+    ``blocks``: per additive term, (block_kind, leaf_slot, col) — OU /
+    Matern32 / Matern52 / Constant / Linear (ops/markov_ss.py block kinds);
+    ``leaf_slot == -1`` marks a pure-Cat term (a unit-variance Constant
+    block, since Cat products are 1 within a group).  ``group_cols``: the
+    term's Cat design columns — the block restarts from its stationary
+    prior at every group change (kernel×Cat grouping, exactly the
+    block-diagonal-in-groups covariance of the reference's longitudinal
+    formulas, /root/reference/test/pred.jl:3-6).  ``noise_slots``: Noise
+    leaves folded into the observation variance.  ``sort_idx`` orders rows
+    by (Markov group key ..., time); ``resets`` are the per-block
+    group-boundary masks in that order.  ``scalar_ou``: the single-OU
+    ungrouped fast path (scalar ops/markov.py)."""
 
     blocks: Tuple[Tuple[int, int, int], ...]
+    group_cols: Tuple[Tuple[int, ...], ...]
     noise_slots: Tuple[int, ...]
     sort_idx: "object"
     t_sorted: "object"
+    resets: "object"
     scalar_ou: bool
+    time_col: int
+    markov_gcols: Tuple[int, ...]
+
+
+def markov_order_resets(st: MarkovStructure, X):
+    """Sort permutation, sorted time axis and per-block reset masks for an
+    arbitrary row set with ``st``'s design columns (training rows at build
+    time; the joined train+test rows in predict).  Sort order: Markov group
+    key lexicographically, then time (group-only / row order when the
+    formula has no Markov leaf).  Raises if any grouped block's level sets
+    are not contiguous under that order (crossed groupings have no exact
+    reset-based Markov form)."""
+    import numpy as _np
+
+    X = _np.asarray(X)
+    N = X.shape[0]
+    if st.time_col >= 0:
+        t = _np.asarray(X[:, st.time_col], dtype=float)
+        keys = (t,) + tuple(X[:, c] for c in reversed(st.markov_gcols))
+        order = _np.lexsort(keys)
+        t_sorted = t[order]
+    else:
+        seen: list = []
+        for gc in st.group_cols:
+            for c in gc:
+                if c not in seen:
+                    seen.append(c)
+        order = (_np.lexsort(tuple(X[:, c] for c in reversed(seen)))
+                 if seen else _np.arange(N))
+        # no Markov leaf: every transition is dt-independent (A = 0/I), so
+        # a fresh monotone axis keeps build_steps' dt clean
+        t_sorted = _np.arange(N, dtype=float)
+    resets = []
+    for gc in st.group_cols:
+        if not gc:
+            resets.append(None)
+            continue
+        key = X[:, list(gc)][order]
+        change = _np.any(key[1:] != key[:-1], axis=1)
+        if 1 + int(change.sum()) != len(_np.unique(key, axis=0)):
+            raise ValueError(
+                "--approx sde: a 'kernel * Cat' term's groups are not "
+                "contiguous under the state-space sort order (crossed with "
+                "the Markov grouping); only shared/nested Cat groupings "
+                "have an exact Markov form — use the dense path or "
+                "--approx rff"
+            )
+        resets.append(_np.concatenate([[True], change]))
+    return order, t_sorted, tuple(resets)
 
 
 def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
     """Validate + extract the state-space structure for --approx sde.
-    Supported: additive formulas of OU / Matern32 / Matern52 / Constant /
-    Linear / Noise leaves, with all OU/Matern leaves on ONE shared column
-    (the Markov time axis).  Raises with a clear message otherwise."""
+
+    Supported terms: one OU / Matern32 / Matern52 / Constant / Linear leaf
+    optionally multiplied by any number of Cat leaves (per-group independent
+    state-space chains), pure-Cat products (group random intercepts,
+    variance 1), and Noise.  All OU/Matern leaves must share ONE time
+    variable and ONE Cat grouping.  Raises with a clear message otherwise."""
     import numpy as _np
 
     from gaplac_tpu.kernels.covariance import (
+        K_CAT,
         K_CONST,
         K_LINEAR,
         K_MATERN32,
@@ -294,18 +355,38 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
     }
     markov_kinds = (K_OU, K_MATERN32, K_MATERN52)
     blocks = []
+    group_cols = []
     noise_slots = []
     time_vars = set()
-    time_col = None
+    time_col = -1
+    markov_gvars = None
+    markov_gcols: Tuple[int, ...] = ()
     for term in ck.terms:
-        if len(term) != 1:
+        cats = [li for li in term if ck.kinds[li] == K_CAT]
+        others = [li for li in term if ck.kinds[li] != K_CAT]
+        gcols = tuple(ck.cols[li] for li in cats)
+        if len(others) > 1:
             raise ValueError(
-                "--approx sde supports additive formulas only (no kernel "
-                "products); got a product term"
+                "--approx sde: product terms may multiply at most ONE "
+                "non-Cat kernel with Cat factors; got a product of "
+                f"{[KIND_NAMES[ck.kinds[li]] for li in others]} "
+                "(no finite-dimensional state-space form; use --approx rff)"
             )
-        li = term[0]
+        if not others:
+            # pure-Cat product: k = 1[g==g'] — a unit-variance group
+            # random intercept (Constant block with per-group resets)
+            blocks.append((_ss.BLOCK_CONST, -1, -1))
+            group_cols.append(gcols)
+            continue
+        li = others[0]
         kind = ck.kinds[li]
         if kind == K_NOISE:
+            if cats:
+                raise ValueError(
+                    "--approx sde does not support Noise * Cat products "
+                    "(group-correlated noise is not diagonal); use the "
+                    "dense path"
+                )
             if ck.cols[li] >= 0:
                 col_vals = _np.asarray(X[:, ck.cols[li]])
                 if len(_np.unique(col_vals)) != col_vals.shape[0]:
@@ -317,18 +398,28 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
             noise_slots.append(li)
         elif kind in block_of:
             blocks.append((block_of[kind], li, ck.cols[li]))
+            group_cols.append(gcols)
             if kind in markov_kinds:
                 # repeated uses of one variable get separate (duplicate)
                 # design columns, so the shared-axis check is by varname
                 time_vars.add(ck.leaf_vars[li])
-                if time_col is None:
+                gvars = frozenset(ck.leaf_vars[c] for c in cats)
+                if markov_gvars is None:
                     time_col = ck.cols[li]
+                    markov_gvars = gvars
+                    markov_gcols = gcols
+                elif gvars != markov_gvars:
+                    raise ValueError(
+                        "--approx sde needs all OU/Matern leaves to share "
+                        "ONE Cat grouping; got groupings "
+                        f"{sorted(markov_gvars)} and {sorted(gvars)}"
+                    )
         else:
             raise ValueError(
                 f"--approx sde supports additive OU / Matern32 / Matern52 / "
-                f"Constant / Linear / Noise formulas; got {KIND_NAMES[kind]} "
-                f"(no exact finite-dimensional state-space form; use "
-                f"--approx rff)"
+                f"Constant / Linear / Noise terms (each optionally × Cat); "
+                f"got {KIND_NAMES[kind]} (no exact finite-dimensional "
+                f"state-space form; use --approx rff)"
             )
     if len(time_vars) > 1:
         raise ValueError(
@@ -337,17 +428,18 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
         )
     if not blocks:
         raise ValueError("--approx sde needs at least one kernel leaf")
-    if time_col is not None:
-        t = _np.asarray(X[:, time_col])
-    else:
-        # no Markov leaf: ordering is irrelevant (all transitions identity)
-        t = _np.arange(X.shape[0], dtype=float)
-    sort_idx = _np.argsort(t, kind="stable")
-    scalar_ou = (
-        len(blocks) == 1 and blocks[0][0] == _ss.BLOCK_OU
+    st = MarkovStructure(
+        tuple(blocks), tuple(group_cols), tuple(noise_slots),
+        None, None, None,
+        scalar_ou=(len(blocks) == 1 and blocks[0][0] == _ss.BLOCK_OU
+                   and not group_cols[0]),
+        time_col=time_col, markov_gcols=markov_gcols,
     )
-    return MarkovStructure(tuple(blocks), tuple(noise_slots), sort_idx,
-                           t[sort_idx], scalar_ou)
+    sort_idx, t_sorted, resets = markov_order_resets(st, X)
+    return MarkovStructure(
+        st.blocks, st.group_cols, st.noise_slots, sort_idx, t_sorted, resets,
+        st.scalar_ou, st.time_col, st.markov_gcols,
+    )
 
 
 def build_gaussian_marginal_markov(
@@ -412,10 +504,15 @@ def build_gaussian_marginal_markov(
         def prior_path(key, p):
             return markov.ou_prior_sample(key, ts, p[ou_slot])
     else:
+        resets_j = tuple(None if r is None else jnp.asarray(r)
+                         for r in st.resets)
 
         def _steps(p):
-            return mss.build_steps(kinds, [p[li] for _, li, _ in st.blocks],
-                                   ts, xs_sorted)
+            # leaf_slot -1 = pure-Cat term: unit-variance Constant block
+            vals = [jnp.asarray(1.0, dtype) if li < 0 else p[li]
+                    for _, li, _ in st.blocks]
+            return mss.build_steps(kinds, vals, ts, xs_sorted,
+                                   resets=resets_j)
 
         def latent_loglik(p, vals, R):
             A, Q, H = _steps(p)

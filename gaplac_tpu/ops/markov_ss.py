@@ -159,17 +159,37 @@ def build_steps(
     params: Sequence,
     t: jnp.ndarray,
     xs: Sequence,
+    resets: Sequence = None,
 ):
     """Assemble block-diagonal per-step (A, Q, H) for the additive model on
     SORTED t.  ``params`` per leaf (lengthscale / variance), ``xs`` per leaf
     data column (only used by Linear; pass None otherwise).  Step 0's A is
-    zeroed and its Q set to P∞ (the stationary prior)."""
+    zeroed and its Q set to P∞ (the stationary prior).
+
+    ``resets`` (per block: None or bool (n,)) implements kernel × Cat
+    grouping (k(t,t')·1[g==g']): at a True row the block's transition is
+    zeroed, so Q = P∞ − A P∞ Aᵀ restarts the block from its stationary
+    prior — consecutive groups become independent draws, which IS the
+    block-diagonal-in-groups covariance when each group's rows are
+    contiguous in the sort order (validated by the structure extractor,
+    inference/model.py::_markov_structure)."""
     n = t.shape[0]
     dtype = t.dtype
-    dt = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(t)])
+    # dt can be negative at group boundaries (t restarts per group); every
+    # Markov block resets there (A zeroed), so clamp keeps exp() finite
+    dt = jnp.maximum(
+        jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(t)]), 0.0
+    )
+    if resets is None:
+        resets = (None,) * len(kinds)
     As, Ps, Hs = [], [], []
-    for kind, p, x in zip(kinds, params, xs):
-        A, P, H = _block_APH(kind, dt, p, x)
+    for kind, p, x, rs in zip(kinds, params, xs, resets):
+        if rs is None:
+            A, P, H = _block_APH(kind, dt, p, x)
+        else:
+            rs = jnp.asarray(rs)
+            A, P, H = _block_APH(kind, jnp.where(rs, 0.0, dt), p, x)
+            A = A * (1.0 - rs.astype(dtype))[:, None, None]
         As.append(A)
         Ps.append(P)
         Hs.append(H)
@@ -299,11 +319,17 @@ def ss_prior_sample(key, A, Q):
     return x
 
 
-def ss_predict(kinds, params, t, xs, y, R, t_new, xs_new):
+def ss_predict(kinds, params, t, xs, y, R, t_new, xs_new,
+               order=None, resets=None):
     """Posterior latent mean/var (H·x only) at t_new given observations
     (t, y) with obs variance R — matrix-state analogue of
     markov.ou_posterior_predict: new points join the sequence unobserved,
-    one smoothing pass, read off H m_s / H P_s Hᵀ."""
+    one smoothing pass, read off H m_s / H P_s Hᵀ.
+
+    ``order`` (optional) is the sort permutation over the JOINED (n+m)
+    sequence and ``resets`` the per-block group-boundary masks in that
+    sorted order (Markov×Cat formulas; computed by the caller from the
+    static group columns).  Default: sort by joined time, no groups."""
     n, m = t.shape[0], t_new.shape[0]
     tj = jnp.concatenate([t, t_new])
     yj = jnp.concatenate([y, jnp.zeros((m,), y.dtype)])
@@ -316,9 +342,10 @@ def ss_predict(kinds, params, t, xs, y, R, t_new, xs_new):
         None if xo is None else jnp.concatenate([xo, xn])
         for xo, xn in zip(xs, xs_new)
     ]
-    order = jnp.argsort(tj)
+    if order is None:
+        order = jnp.argsort(tj)
     xs_s = [None if x is None else x[order] for x in xs_j]
-    A, Q, H = build_steps(kinds, params, tj[order], xs_s)
+    A, Q, H = build_steps(kinds, params, tj[order], xs_s, resets=resets)
     m_s, P_s = ss_smooth(A, Q, H, yj[order], Rv[order], obs=obs[order])
     mu = jnp.einsum("nd,nd->n", H, m_s)
     var = jnp.einsum("nd,nde,ne->n", H, P_s, H)

@@ -199,7 +199,8 @@ def test_sde_rejects_unsupported_formulas():
     for f, msg in [
         ("y ~| SqExp(:x)", "rff"),
         ("y ~| Periodic(:x)", "rff"),
-        ("y ~| OU(:x) * Cat(:x)", "product"),
+        ("y ~| OU(:x) * Linear(:x)", "product"),
+        ("y ~| Noise(:x) * Cat(:x)", "Noise"),
     ]:
         spec = parse_formula(f)
         with pytest.raises(ValueError, match=msg):
@@ -318,3 +319,151 @@ def test_cli_sde_end_to_end(tmp_path):
     for col in ("ymu", "yQ050", "yQ950"):
         np.testing.assert_allclose(outs["sde"][col], outs["none"][col],
                                    rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Markov × Cat: per-group independent state-space chains (VERDICT r2 task 2)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_markov_matches_dense():
+    """OU(:t)*Cat(:g) + Cat(:g) + Noise — the longitudinal core formula
+    (per-subject OU + subject random intercept) must match the dense
+    marginal pointwise in value and gradient."""
+    rng = np.random.default_rng(21)
+    n = 120
+    g = rng.integers(0, 7, n).astype(float)
+    t = rng.uniform(0, 10, n)
+    spec = parse_formula("y ~| OU(:t)*Cat(:g) + Cat(:g) + Noise")
+    ck = compile_formula(spec.formula)
+    X = jnp.asarray(np.stack([t, g, g], axis=1))
+    y = jnp.asarray(rng.normal(0, 1, n))
+    m_sde = build_model(ck, ["t"], X, y, spec.likelihood, approx="sde")
+    m_dense = build_model(ck, ["t"], X, y, spec.likelihood)
+    for seed in range(4):
+        u = jax.random.uniform(jax.random.key(seed), (m_sde.dim,),
+                               minval=-1.5, maxval=1.5)
+        a, b = float(m_sde.logdensity(u)), float(m_dense.logdensity(u))
+        assert abs(a - b) < 1e-7 * max(1.0, abs(b))
+        ga = np.asarray(jax.grad(m_sde.logdensity)(u))
+        gb = np.asarray(jax.grad(m_dense.logdensity)(u))
+        np.testing.assert_allclose(ga, gb, rtol=1e-6, atol=1e-8)
+
+
+def test_legacy_composite_sde_matches_dense():
+    """The reference's legacy composite Cat(a)*Cat(b) + Cat(a) + Linear(z)
+    + Noise (test/pred.jl:3) — all-static blocks with nested group resets —
+    must match the dense marginal."""
+    rng = np.random.default_rng(22)
+    n = 130
+    a = rng.integers(0, 6, n).astype(float)
+    b = rng.integers(0, 3, n).astype(float)
+    z = rng.uniform(-2, 2, n)
+    spec = parse_formula("y ~| Cat(:a)*Cat(:b) + Cat(:a) + Linear(:z) + Noise")
+    ck = compile_formula(spec.formula)
+    X = jnp.asarray(np.stack([a, b, a, z], axis=1))
+    y = jnp.asarray(rng.normal(0, 1, n))
+    m_sde = build_model(ck, ["z"], X, y, spec.likelihood, approx="sde")
+    m_dense = build_model(ck, ["z"], X, y, spec.likelihood)
+    for seed in range(3):
+        u = jax.random.uniform(jax.random.key(seed), (1,), minval=-1.5,
+                               maxval=1.5)
+        x1, x2 = float(m_sde.logdensity(u)), float(m_dense.logdensity(u))
+        assert abs(x1 - x2) < 1e-7 * max(1.0, abs(x2))
+
+
+def test_grouped_markov_report_latents():
+    """Matheron latent draws under grouping: mean over draws must equal the
+    exact posterior mean in ORIGINAL row order."""
+    rng = np.random.default_rng(23)
+    n = 40
+    g = rng.integers(0, 4, n).astype(float)
+    t = rng.uniform(0, 8, n)
+    spec = parse_formula("y ~| Matern32(:t)*Cat(:g)")
+    ck = compile_formula(spec.formula)
+    X = jnp.asarray(np.stack([t, g], axis=1))
+    y = jnp.asarray(rng.normal(0, 1, n))
+    m = build_model(ck, ["t"], X, y, spec.likelihood, approx="sde")
+    u = m.position_from(jnp.asarray([1.1]), None)
+    keys = jax.random.split(jax.random.key(2), 3000)
+    _, fs, lps = jax.vmap(lambda k: m.report(k, u))(keys)
+    assert np.isfinite(np.asarray(lps)).all()
+    lam = 3.0 ** 0.5 / 1.1
+    dd = np.abs(t[:, None] - t[None, :])
+    K = (1 + lam * dd) * np.exp(-lam * dd) * (g[:, None] == g[None, :])
+    S = K + 0.1 * np.eye(n)
+    mean_f = S @ np.linalg.solve(S + np.eye(n), np.asarray(y))
+    err = np.abs(np.asarray(fs).mean(axis=0) - mean_f)
+    assert err.max() < 0.15  # MC error at 3000 draws
+
+
+def test_grouped_predict_matches_dense(tmp_path):
+    """predict --approx sde with a grouped formula reproduces the dense
+    predict table (reset-based smoother on the joined train+test rows)."""
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(24)
+    n = 60
+    g = np.repeat(np.arange(5), 12).astype(float)
+    t = np.concatenate([np.sort(rng.uniform(0, 10, 12)) for _ in range(5)])
+    y = np.sin(t) + 0.5 * g + rng.normal(0, 0.4, n)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"t": t, "g": g, "y": y}).to_csv(data, sep="\t", index=False)
+    outs = {}
+    for mode in ("none", "sde"):
+        out = tmp_path / f"pred_{mode}.tsv"
+        rc = main([
+            "--platform", "cpu", "predict",
+            "y ~| OU(:t)*Cat(:g) + Cat(:g) + Noise",
+            "--data", str(data), "--at", "t=0:0.5:10; g=2", "--approx", mode,
+            "--output", str(out), "--seed", "0",
+        ])
+        assert rc == 0
+        outs[mode] = pd.read_csv(out, sep="\t")
+    for col in ("ymu", "yQ050", "yQ950"):
+        np.testing.assert_allclose(outs["sde"][col], outs["none"][col],
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_crossed_grouping_rejected():
+    """Crossed groupings (no nesting) have no exact Markov form → clear
+    error pointing at the dense/rff fallback."""
+    rng = np.random.default_rng(25)
+    n = 40
+    t = np.sort(rng.uniform(0, 10, n))
+    a = rng.integers(0, 4, n).astype(float)
+    b = rng.integers(0, 3, n).astype(float)
+    spec = parse_formula("y ~| OU(:t)*Cat(:a) + Cat(:b)")
+    ck = compile_formula(spec.formula)
+    X = jnp.asarray(np.stack([t, a, b], axis=1))
+    y = jnp.zeros(n)
+    with pytest.raises(ValueError, match="contiguous"):
+        build_model(ck, ["t"], X, y, spec.likelihood, approx="sde")
+
+
+def test_reference_fixture_grouped_sde():
+    """The real 921-row reference fixture (test/pred.jl:3): both the legacy
+    composite and the longitudinal OU-per-person formula match the dense
+    marginal to float tolerance through the state-space path."""
+    import os
+
+    TESTIN = "/root/reference/test/testin"
+    if not os.path.isdir(TESTIN):
+        pytest.skip("reference fixtures not mounted")
+    from gaplac_tpu.cli.common import design_matrix
+
+    data = pd.read_csv(os.path.join(TESTIN, "input_pair_109.tsv"), sep="\t")
+    for formula, infer in [
+        ("bug :~| Cat(PersonID) * Cat(StoolPairs) + Cat(PersonID) "
+         "+ Linear(nutrient) + Noise", "nutrient"),
+        ("bug :~| OU(Date) * Cat(PersonID) + Cat(PersonID) + Noise", "Date"),
+    ]:
+        spec = parse_formula(formula)
+        ck = compile_formula(spec.formula)
+        X = jnp.asarray(design_matrix(data, ck))
+        y = jnp.asarray(data["bug"].to_numpy())
+        m_sde = build_model(ck, [infer], X, y, spec.likelihood, approx="sde")
+        m_dense = build_model(ck, [infer], X, y, spec.likelihood)
+        u = jnp.asarray([0.4])
+        a, b = float(m_sde.logdensity(u)), float(m_dense.logdensity(u))
+        assert abs(a - b) < 1e-6 * max(1.0, abs(b)), formula
