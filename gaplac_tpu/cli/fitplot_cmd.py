@@ -92,6 +92,60 @@ def _lowrank_component_stats(args, ck, params, X, y, noise):
     return component_stats
 
 
+def _sde_component_stats(args, ck, params, X, y, noise):
+    """Per-component posterior through the state-space path (--approx sde).
+
+    One full-model smoothing pass gives the joint state posterior; the
+    posterior of additive component t is read off by masking the
+    measurement row to t's block: mu_t = H_t m_s, var_t = H_t P_s H_tᵀ
+    (blocks are independent, so H_t Cov(x,x') Hᵀ = K_t exactly).  Noise
+    components use S⁻¹ = R⁻¹I − R⁻²·Var(Hx|y) — all O(n log n), no n×n
+    matrix (the legacy fitplot contract, bin/old_options.jl:119-142, at
+    state-space scale)."""
+    import numpy as _np
+
+    from gaplac_tpu.inference.model import _markov_structure
+    from gaplac_tpu.ops import markov_ss as mss
+    from gaplac_tpu.ops.markov_ss import _BLOCK_DIM
+
+    dtype = X.dtype
+    st = _markov_structure(ck, _np.asarray(X))
+    idx = jnp.asarray(st.sort_idx)
+    inv = jnp.asarray(_np.argsort(st.sort_idx))
+    ts = jnp.asarray(st.t_sorted, dtype)
+    ys = y[idx]
+    kinds = tuple(b[0] for b in st.blocks)
+    xs_sorted = [X[:, col][idx] if col >= 0 else None
+                 for _, _, col in st.blocks]
+    vals = [jnp.asarray(1.0, dtype) if li < 0 else params[li]
+            for _, li, _ in st.blocks]
+    A, Q, H = mss.build_steps(kinds, vals, ts, xs_sorted, resets=st.resets)
+    R = jnp.asarray(noise, dtype)
+    for s in st.noise_slots:
+        R = R + params[s]
+    m_s, P_s = mss.ss_smooth(A, Q, H, ys, R)
+    h_mean = jnp.einsum("nd,nd->n", H, m_s)
+    h_var = jnp.einsum("nd,nde,ne->n", H, P_s, H)
+    offs = _np.cumsum([0] + [_BLOCK_DIM[k] for k in kinds])
+
+    def component_stats(t):
+        tag, i = st.term_map[t]
+        if tag == "n":  # Noise term: K_t = s2 I
+            s2 = params[i]
+            s_inv_diag = 1.0 / R - h_var / (R * R)
+            mu = s2 * (ys - h_mean) / R
+            var = s2 - s2 * s2 * s_inv_diag
+        else:
+            mask = jnp.zeros((H.shape[1],), dtype)
+            mask = mask.at[int(offs[i]):int(offs[i + 1])].set(1.0)
+            Ht = H * mask[None, :]
+            mu = jnp.einsum("nd,nd->n", Ht, m_s)
+            var = jnp.einsum("nd,nde,ne->n", Ht, P_s, Ht)
+        return mu[inv], var[inv]
+
+    return component_stats
+
+
 def run(args) -> None:
     log.info("running 'fitplot'")
     spec = parse_formula(args.formula)
@@ -140,6 +194,8 @@ def run(args) -> None:
 
     if getattr(args, "approx", "none") == "rff":
         component_stats = _lowrank_component_stats(args, ck, params, X, y, noise)
+    elif getattr(args, "approx", "none") == "sde":
+        component_stats = _sde_component_stats(args, ck, params, X, y, noise)
     else:
         S = ck.gram(params, X) + noise * jnp.eye(n, dtype=dtype)
         L = linalg.cholesky(S)

@@ -65,9 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-o", "--output", help="Table output - '.csv', '.tsv', or 'stdout'")
     ps.add_argument("--seed", type=int, default=None, help="PRNG seed")
     ps.add_argument("--jitter", type=float, default=0.1, help="Latent GP noise floor")
-    ps.add_argument("--approx", choices=["none", "rff"], default="none",
+    ps.add_argument("--approx", choices=["none", "rff", "sde"], default="none",
                     help="rff: prior/posterior draws through the low-rank "
-                    "feature path (O(n m) Matheron — the large-n mode)")
+                    "feature path (O(n m) Matheron — the large-n mode). "
+                    "sde: exact state-space prior/posterior draws for "
+                    "OU/Matern/Constant/Linear (+Cat groups, + Noise) "
+                    "formulas — O(n log n), the million-point mode")
     ps.add_argument("--rff-features", type=int, default=256, metavar="M",
                     help="Features per stationary kernel leaf with --approx rff")
     ps.add_argument("--rff-seed", type=int, default=0)
@@ -220,9 +223,12 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("-o", "--output", default="fitplots.png", help="Output image file")
     pf.add_argument("--seed", type=int, default=0)
     pf.add_argument("--jitter", type=float, default=0.1)
-    pf.add_argument("--approx", choices=["none", "rff"], default="none",
+    pf.add_argument("--approx", choices=["none", "rff", "sde"], default="none",
                     help="rff: per-component decomposition through the "
-                    "low-rank feature path (the large-n mode)")
+                    "low-rank feature path (the large-n mode). "
+                    "sde: per-component posteriors by masking the state-space "
+                    "measurement row to one block — O(n log n), exact for "
+                    "OU/Matern/Constant/Linear (+Cat groups, + Noise)")
     pf.add_argument("--rff-features", type=int, default=256, metavar="M",
                     help="Features per stationary kernel leaf with --approx rff")
     pf.add_argument("--rff-seed", type=int, default=0)

@@ -55,6 +55,12 @@ def run(args) -> None:
 
     if getattr(args, "data", None):
         y = _sample_posterior(args, spec, ck, df, params, key, dtype, jitter)
+    elif getattr(args, "approx", "none") == "sde":
+        # million-point prior draw: exact state-space recurrence, O(n log n)
+        from gaplac_tpu.cli.common import design_matrix
+
+        y = _sde_prior_draw(ck, design_matrix(df, ck), params, key, dtype,
+                            jitter)
     elif getattr(args, "approx", "none") == "rff":
         # large-n prior draw: f = Phi w + sqrt(jitter + noise) eta, O(n m)
         from gaplac_tpu.cli.common import design_matrix
@@ -134,6 +140,11 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
             jax.random.fold_in(key, 1), phi, d0, sigma2, y,
             fm.phi(params, Xt), fm.noise_diag(params, Xt) + jitter,
         )
+    if getattr(args, "approx", "none") == "sde":
+        return _sde_posterior_draw(
+            ck, X_np, Xt_np, y, params, jax.random.fold_in(key, 1), dtype,
+            jitter, sigma2,
+        )
 
     K_xx = ck.gram(params, X) + jitter * jnp.eye(X.shape[0], dtype=dtype)
     K_tx = ck.gram(params, Xt, X)
@@ -142,6 +153,79 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
     mu = mvn.gp_predict_mean(post, K_tx)
     cov = mvn.gp_predict_cov(post, K_tx, K_tt)
     return mvn.sample_mvn(jax.random.fold_in(key, 1), cov, mean=mu, jitter=jitter)
+
+
+def _sde_prior_draw(ck, X_np, params, key, dtype, jitter):
+    """Exact state-space prior draw (--approx sde): f = H x* + √j_eff z
+    where x* runs the Gauss-Markov recurrence as an associative scan —
+    O(n log n), no gram (ref contract: rand(gp(X, 0.1)), sample.jl:25)."""
+    from gaplac_tpu.inference.model import _markov_structure
+    from gaplac_tpu.ops import markov_ss as mss
+
+    st = _markov_structure(ck, X_np)
+    idx = jnp.asarray(st.sort_idx)
+    inv = jnp.asarray(np.argsort(st.sort_idx))
+    ts = jnp.asarray(st.t_sorted, dtype)
+    X = jnp.asarray(X_np, dtype)
+    xs_sorted = [X[:, col][idx] if col >= 0 else None
+                 for _, _, col in st.blocks]
+    vals = [jnp.asarray(1.0, dtype) if li < 0 else params[li]
+            for _, li, _ in st.blocks]
+    A, Q, H = mss.build_steps(tuple(b[0] for b in st.blocks), vals, ts,
+                              xs_sorted, resets=st.resets)
+    j_eff = jnp.asarray(jitter, dtype)
+    for s in st.noise_slots:
+        j_eff = j_eff + params[s]
+    k1, k2 = jax.random.split(key)
+    x = mss.ss_prior_sample(k1, A, Q)
+    n = X.shape[0]
+    f = (jnp.einsum("nd,nd->n", H, x)
+         + jnp.sqrt(j_eff) * jax.random.normal(k2, (n,), dtype))
+    return f[inv]
+
+
+def _sde_posterior_draw(ck, X_np, Xt_np, y, params, key, dtype, jitter,
+                        sigma2):
+    """Matheron pathwise posterior draw at the test points through the
+    joined train+test state-space smoother (--approx sde):
+    f_t = f*_t + K_tx (K + j_eff I + σ² I)⁻¹ (y − f*_x − ε*), where f* is a
+    joint prior path and the solve is ss_smooth with the test rows
+    unobserved — all O((n+m) log) associative scans, no gram."""
+    from gaplac_tpu.inference.model import (
+        _markov_structure, markov_order_resets,
+    )
+    from gaplac_tpu.ops import markov_ss as mss
+
+    st = _markov_structure(ck, X_np)
+    n, m = X_np.shape[0], Xt_np.shape[0]
+    J = np.vstack([np.asarray(X_np), np.asarray(Xt_np)])
+    order, t_sorted, resets = markov_order_resets(st, J)
+    inv = jnp.asarray(np.argsort(order))
+    oj = jnp.asarray(order)
+    Jj = jnp.asarray(J, dtype)
+    ts = jnp.asarray(t_sorted, dtype)
+    xs_sorted = [Jj[:, col][oj] if col >= 0 else None
+                 for _, _, col in st.blocks]
+    vals = [jnp.asarray(1.0, dtype) if li < 0 else params[li]
+            for _, li, _ in st.blocks]
+    A, Q, H = mss.build_steps(tuple(b[0] for b in st.blocks), vals, ts,
+                              xs_sorted, resets=resets)
+    j_eff = jnp.asarray(jitter, dtype)
+    for s in st.noise_slots:
+        j_eff = j_eff + params[s]
+    k1, k2, k3 = jax.random.split(key, 3)
+    x_star = mss.ss_prior_sample(k1, A, Q)
+    f_star = (jnp.einsum("nd,nd->n", H, x_star)
+              + jnp.sqrt(j_eff) * jax.random.normal(k2, (n + m,), dtype))
+    obs = jnp.asarray(order < n)
+    y_pad = jnp.concatenate([jnp.asarray(y, dtype),
+                             jnp.zeros((m,), dtype)])[oj]
+    eps = jnp.sqrt(jnp.asarray(sigma2, dtype)) * jax.random.normal(
+        k3, (n + m,), dtype)
+    r = jnp.where(obs, y_pad - f_star - eps, 0.0)
+    m_s, _ = mss.ss_smooth(A, Q, H, r, j_eff + sigma2, obs=obs)
+    f = f_star + jnp.einsum("nd,nd->n", H, m_s)
+    return f[inv][n:]
 
 
 def _feature_map(args, ck, mats):

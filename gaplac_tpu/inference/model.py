@@ -275,6 +275,9 @@ class MarkovStructure:
     scalar_ou: bool
     time_col: int
     markov_gcols: Tuple[int, ...]
+    #: per formula term: ("b", block_index) or ("n", noise leaf slot) —
+    #: lets fitplot map additive components back to state blocks
+    term_map: Tuple[Tuple[str, int], ...] = ()
 
 
 def markov_order_resets(st: MarkovStructure, X):
@@ -357,6 +360,7 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
     blocks = []
     group_cols = []
     noise_slots = []
+    term_map = []
     time_vars = set()
     time_col = -1
     markov_gvars = None
@@ -375,6 +379,7 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
         if not others:
             # pure-Cat product: k = 1[g==g'] — a unit-variance group
             # random intercept (Constant block with per-group resets)
+            term_map.append(("b", len(blocks)))
             blocks.append((_ss.BLOCK_CONST, -1, -1))
             group_cols.append(gcols)
             continue
@@ -396,7 +401,9 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
                         "Noise for per-row noise"
                     )
             noise_slots.append(li)
+            term_map.append(("n", li))
         elif kind in block_of:
+            term_map.append(("b", len(blocks)))
             blocks.append((block_of[kind], li, ck.cols[li]))
             group_cols.append(gcols)
             if kind in markov_kinds:
@@ -434,11 +441,12 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
         scalar_ou=(len(blocks) == 1 and blocks[0][0] == _ss.BLOCK_OU
                    and not group_cols[0]),
         time_col=time_col, markov_gcols=markov_gcols,
+        term_map=tuple(term_map),
     )
     sort_idx, t_sorted, resets = markov_order_resets(st, X)
     return MarkovStructure(
         st.blocks, st.group_cols, st.noise_slots, sort_idx, t_sorted, resets,
-        st.scalar_ou, st.time_col, st.markov_gcols,
+        st.scalar_ou, st.time_col, st.markov_gcols, st.term_map,
     )
 
 

@@ -467,3 +467,121 @@ def test_reference_fixture_grouped_sde():
         u = jnp.asarray([0.4])
         a, b = float(m_sde.logdensity(u)), float(m_dense.logdensity(u))
         assert abs(a - b) < 1e-6 * max(1.0, abs(b)), formula
+
+
+# ---------------------------------------------------------------------------
+# sample / fitplot --approx sde (VERDICT r2 task 3: 5/5 commands)
+# ---------------------------------------------------------------------------
+
+
+def test_sde_prior_draw_covariance():
+    """sample's state-space prior draw: empirical covariance over draws must
+    match gram + jitter·I (incl. Cat grouping and a Noise term)."""
+    from gaplac_tpu.cli.sample_cmd import _sde_prior_draw
+
+    rng = np.random.default_rng(31)
+    n = 25
+    g = rng.integers(0, 3, n).astype(float)
+    t = rng.uniform(0, 6, n)
+    ck = compile_formula(
+        parse_formula("y ~| OU(:t)*Cat(:g) + Cat(:g) + Noise").formula)
+    X = np.stack([t, g, g], 1)
+    p = ck.default_params()
+    keys = jax.random.split(jax.random.key(0), 6000)
+    fs = np.asarray(jax.vmap(
+        lambda k: _sde_prior_draw(ck, X, p, k, jnp.float64, 0.1))(keys))
+    Kd = np.asarray(ck.gram(p, jnp.asarray(X))) + 0.1 * np.eye(n)
+    assert np.abs(np.cov(fs.T) - Kd).max() < 0.2  # MC error at 6000 draws
+
+
+def test_sde_posterior_draw_moments():
+    """sample --data: the Matheron joined-smoother draw must have the dense
+    GP posterior's mean and covariance (within MC error)."""
+    from gaplac_tpu.cli.sample_cmd import _sde_posterior_draw
+
+    rng = np.random.default_rng(32)
+    n, m = 25, 15
+    g = rng.integers(0, 3, n).astype(float)
+    t = rng.uniform(0, 6, n)
+    ck = compile_formula(
+        parse_formula("y ~| OU(:t)*Cat(:g) + Cat(:g) + Noise").formula)
+    X = np.stack([t, g, g], 1)
+    Xt = np.stack([np.linspace(0, 6, m), np.full(m, 1.0), np.full(m, 1.0)], 1)
+    p = ck.default_params()
+    y = jnp.asarray(rng.normal(0, 1, n))
+    keys = jax.random.split(jax.random.key(1), 6000)
+    fp = np.asarray(jax.vmap(lambda k: _sde_posterior_draw(
+        ck, X, Xt, y, p, k, jnp.float64, 0.1, 1.0))(keys))
+    Kd = np.asarray(ck.gram(p, jnp.asarray(X))) + 0.1 * np.eye(n)
+    Ktx = np.asarray(ck.gram(p, jnp.asarray(Xt), jnp.asarray(X)))
+    mu_d = Ktx @ np.linalg.solve(Kd + np.eye(n), np.asarray(y))
+    assert np.abs(fp.mean(0) - mu_d).max() < 0.1
+    Ktt = np.asarray(ck.gram(p, jnp.asarray(Xt))) + 0.1 * np.eye(m)
+    cov_d = Ktt - Ktx @ np.linalg.solve(Kd + np.eye(n), Ktx.T)
+    assert np.abs(np.cov(fp.T) - cov_d).max() < 0.15
+
+
+def test_sde_fitplot_components_match_dense():
+    """fitplot --approx sde: per-component posterior stats from the masked-H
+    smoother equal the dense K_t S^{-1} formulas to float tolerance."""
+    from types import SimpleNamespace
+
+    from gaplac_tpu.cli.fitplot_cmd import _sde_component_stats, term_gram
+
+    rng = np.random.default_rng(33)
+    n = 30
+    g = rng.integers(0, 3, n).astype(float)
+    t = rng.uniform(0, 6, n)
+    ck = compile_formula(
+        parse_formula("y ~| Matern52(:t)*Cat(:g) + Linear(:t) + Noise").formula)
+    X = jnp.asarray(np.stack([t, g, t], 1))
+    p = ck.default_params()
+    y = jnp.asarray(rng.normal(0, 1, n))
+    args = SimpleNamespace(jitter=0.1)
+    cs = _sde_component_stats(args, ck, p, X, y, 0.1 + 1.0)
+    S = np.asarray(ck.gram(p, X)) + (0.1 + 1.0) * np.eye(n)
+    Sinv = np.linalg.inv(S)
+    alpha = Sinv @ np.asarray(y)
+    for ti in range(len(ck.terms)):
+        Kt = np.asarray(term_gram(ck, ti, p, X))
+        mu_d = Kt @ alpha
+        var_d = np.diag(Kt) - np.einsum("ij,jk,ik->i", Kt, Sinv, Kt)
+        mu_s, var_s = cs(ti)
+        np.testing.assert_allclose(np.asarray(mu_s), mu_d, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var_s), var_d, atol=1e-9)
+
+
+def test_cli_sample_fitplot_sde(tmp_path):
+    """sample + fitplot run end-to-end with --approx sde through the CLI
+    (prior draw table; per-component plot file)."""
+    from gaplac_tpu.cli.main import main
+
+    out = tmp_path / "prior.tsv"
+    rc = main([
+        "--platform", "cpu", "sample", "y :~| OU(:t; l=1.5) + Noise",
+        "--at", "t = rand(Uniform(0,10), 80)", "--approx", "sde",
+        "--seed", "3", "--output", str(out),
+    ])
+    assert rc == 0
+    df = pd.read_csv(out, sep="\t")
+    assert "y" in df.columns and len(df) == 80 and np.isfinite(df["y"]).all()
+
+    data = tmp_path / "d.tsv"
+    df.to_csv(data, sep="\t", index=False)
+    png = tmp_path / "fit.png"
+    rc = main([
+        "--platform", "cpu", "fitplot", "y ~| OU(:t) + Noise",
+        "--data", str(data), "--approx", "sde", "--output", str(png),
+    ])
+    assert rc == 0 and png.exists()
+
+    # posterior sample at new points, grouped formula
+    out2 = tmp_path / "post.tsv"
+    rc = main([
+        "--platform", "cpu", "sample", "y :~| OU(:t) + Noise",
+        "--data", str(data), "--at", "t=0:0.5:10", "--approx", "sde",
+        "--seed", "4", "--output", str(out2),
+    ])
+    assert rc == 0
+    df2 = pd.read_csv(out2, sep="\t")
+    assert np.isfinite(df2["y"]).all()
