@@ -189,6 +189,11 @@ def run(args) -> None:
 
     sigma2 = gaussian_obs_sigma2(spec.likelihood)
     if sigma2 is None:  # non-Gaussian: use unit obs noise for the decomposition
+        log.warning(
+            "fitplot uses the Gaussian component-posterior equations; "
+            "non-Gaussian likelihood %s treated as Gaussian(1)",
+            spec.likelihood.name,
+        )
         sigma2 = 1.0
     noise = args.jitter + sigma2
 

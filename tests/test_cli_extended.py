@@ -358,3 +358,58 @@ def test_mcmc_no_latents_omits_fx_columns(tmp_path):
     df = pd.read_csv(out, sep="\t")
     assert not any(c.startswith("fx[") for c in df.columns)
     assert np.isfinite(df["lp"]).all()
+
+
+def test_approx_command_matrix_unsupported_cells(tmp_path):
+    """README's approx×command matrix: every unsupported cell raises an
+    early error (rc=2 with a ValueError message), never a silent fallback
+    (VERDICT r2 task 9)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    n = 30
+    x = np.sort(rng.uniform(0, 5, n))
+    df = pd.DataFrame({
+        "x": x,
+        "y": np.sin(x) + rng.normal(0, 0.3, n),
+        "z": rng.integers(0, 2, n),  # Bernoulli response
+    })
+    data = tmp_path / "d.tsv"
+    df.to_csv(data, sep="\t", index=False)
+    chain = tmp_path / "chain.tsv"
+    rc = main(["--platform", "cpu", "mcmc", "y ~| SqExp(:x)", "--data",
+               str(data), "--infer", "x", "--samples", "10", "--warmup", "20",
+               "--output", str(chain), "--seed", "0"])
+    assert rc == 0
+
+    bad = [
+        # laplace needs a non-Gaussian likelihood
+        ["mcmc", "y ~| SqExp(:x)", "--data", str(data), "--infer", "x",
+         "--approx", "laplace"],
+        # sde/rff need a Gaussian likelihood
+        ["mcmc", "z ~ Bernoulli | OU(:x)", "--data", str(data), "--infer",
+         "x", "--approx", "sde"],
+        ["mcmc", "z ~ Bernoulli | SqExp(:x)", "--data", str(data), "--infer",
+         "x", "--approx", "rff"],
+        # --infer-extra × rff: static shape parameters required
+        ["mcmc", "y ~| Periodic(:x)", "--data", str(data), "--infer", "x",
+         "--infer-extra", "x", "--approx", "rff"],
+        ["predict", "y ~| Periodic(:x)", "--data", str(data), "--mcmc",
+         str(chain), "--infer", "x", "--infer-extra", "x", "--approx", "rff",
+         "--at", "x=0:1:5", "--output", str(tmp_path / "p.tsv")],
+        ["fitplot", "y ~| Periodic(:x)", "--data", str(data), "--mcmc",
+         str(chain), "--infer", "x", "--infer-extra", "x", "--approx", "rff",
+         "--output", str(tmp_path / "f.png")],
+        # sde-unsupported formulas raise in every command that takes sde
+        ["mcmc", "y ~| SqExp(:x)", "--data", str(data), "--infer", "x",
+         "--approx", "sde"],
+        ["sample", "y :~| Periodic(:x)", "--at", "x=0:1:5", "--approx",
+         "sde", "--output", str(tmp_path / "s.tsv")],
+        ["predict", "y ~| Periodic(:x)", "--data", str(data), "--at",
+         "x=0:1:5", "--approx", "sde", "--output", str(tmp_path / "p2.tsv")],
+        ["fitplot", "y ~| Periodic(:x)", "--data", str(data), "--approx",
+         "sde", "--output", str(tmp_path / "f2.png")],
+    ]
+    for argv in bad:
+        rc = main(["--platform", "cpu"] + argv)
+        assert rc == 2, argv
