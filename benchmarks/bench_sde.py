@@ -26,6 +26,14 @@ import numpy as np
 
 N_OBS = 1 << 20
 CHAINS, WARMUP, SAMPLES = 8, 100, 100
+#: escalate through these sizes with host-synced progress lines, so a hung
+#: tunnel identifies the first sticking stage (the final size is the
+#: headline; smaller ones also chart the O(n log n) scaling)
+STAGES = (1 << 14, 1 << 17, 1 << 20)
+
+
+def say(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -35,66 +43,76 @@ def main():
     from gaplac_tpu.kernels.covariance import compile_formula
 
     backend = jax.default_backend()
+    say(f"backend={backend} devices={jax.devices()}")
     dtype = jnp.float32 if backend != "cpu" else jnp.float64
 
-    rng = np.random.default_rng(0)
-    x = np.sort(rng.uniform(0, 2000.0, N_OBS))
-    y = np.sin(x / 1.5) + rng.normal(0, 1.0, N_OBS)
-    X = jnp.asarray(x[:, None], dtype)
-    yj = jnp.asarray(y, dtype)
+    for n_obs in STAGES:
+        rng = np.random.default_rng(0)
+        x = np.sort(rng.uniform(0, 2000.0, n_obs))
+        y = np.sin(x / 1.5) + rng.normal(0, 1.0, n_obs)
+        X = jnp.asarray(x[:, None], dtype)
+        yj = jnp.asarray(y, dtype)
+        float(jnp.sum(yj))
+        say(f"n={n_obs}: data uploaded")
 
-    spec = parse_formula("y ~| OU(:x)")
-    model = build_model(
-        compile_formula(spec.formula), ["x"], X, yj, spec.likelihood,
-        approx="sde",
-    )
+        spec = parse_formula("y ~| OU(:x)")
+        model = build_model(
+            compile_formula(spec.formula), ["x"], X, yj, spec.likelihood,
+            approx="sde",
+        )
 
-    # raw vmapped value+grad rate (the leapfrog hot op), in-graph chained
-    q0 = jax.vmap(model.initial_position)(jax.random.split(jax.random.key(5), CHAINS))
-    ITERS = 20
+        # raw vmapped value+grad rate (the leapfrog hot op), chained in-graph
+        q0 = jax.vmap(model.initial_position)(
+            jax.random.split(jax.random.key(5), CHAINS))
+        ITERS = 20
 
-    @jax.jit
-    def vg(qs):
-        def body(c, _):
-            g = jax.vmap(jax.grad(model.logdensity))(qs + 1e-6 * c)
-            return 1e-9 * jnp.sum(g), None
-        c, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), None, length=ITERS)
-        return c
+        @jax.jit
+        def vg(qs):
+            def body(c, _):
+                g = jax.vmap(jax.grad(model.logdensity))(qs + 1e-6 * c)
+                return 1e-9 * jnp.sum(g), None
+            c, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), None,
+                                length=ITERS)
+            return c
 
-    float(vg(q0))
-    t0 = time.time()
-    float(vg(q0))
-    dt_vg = (time.time() - t0) / ITERS
-    print(json.dumps({
-        "metric": f"sde exact marginal value+grad, n={N_OBS}, {CHAINS} chains vmapped",
-        "value": round(CHAINS / dt_vg, 2),
-        "unit": "evals/s",
-        "seconds_per_batch_eval": round(dt_vg, 5),
-    }))
+        float(vg(q0))
+        say(f"n={n_obs}: value+grad compiled")
+        t0 = time.time()
+        float(vg(q0))
+        dt_vg = (time.time() - t0) / ITERS
+        print(json.dumps({
+            "metric": f"sde exact marginal value+grad, n={n_obs}, "
+                      f"{CHAINS} chains vmapped",
+            "value": round(CHAINS / dt_vg, 2),
+            "unit": "evals/s",
+            "seconds_per_batch_eval": round(dt_vg, 5),
+        }), flush=True)
 
-    run = jax.jit(
-        lambda k: run_chees(k, model.logdensity, q0, SAMPLES, num_warmup=WARMUP)
-    )
-    r = run(jax.random.key(6))
-    float(jnp.sum(r.positions))  # compile + host sync
-    t0 = time.time()
-    r = run(jax.random.key(7))
-    float(jnp.sum(r.positions))
-    dt = time.time() - t0
-    rate = CHAINS * (SAMPLES + WARMUP) / dt
-    print(
-        f"# backend={backend} n={N_OBS} chains={CHAINS} "
-        f"accept={float(np.asarray(r.accept_prob).mean()):.2f} "
-        f"T={float(r.traj_length):.2f} eps={float(r.step_size):.4f}",
-        file=sys.stderr,
-    )
-    print(json.dumps({
-        "metric": f"million-row EXACT GP sampling, n={N_OBS} obs "
-                  f"(OU state-space marginal, ChEES-HMC {CHAINS} chains)",
-        "value": round(rate, 2),
-        "unit": "samples/s/chip",
-        "seconds_per_transition": round(dt / (CHAINS * (SAMPLES + WARMUP)), 5),
-    }))
+        run = jax.jit(
+            lambda k: run_chees(k, model.logdensity, q0, SAMPLES,
+                                num_warmup=WARMUP)
+        )
+        r = run(jax.random.key(6))
+        float(jnp.sum(r.positions))  # compile + host sync
+        say(f"n={n_obs}: ChEES compiled")
+        t0 = time.time()
+        r = run(jax.random.key(7))
+        float(jnp.sum(r.positions))
+        dt = time.time() - t0
+        rate = CHAINS * (SAMPLES + WARMUP) / dt
+        say(
+            f"n={n_obs} chains={CHAINS} "
+            f"accept={float(np.asarray(r.accept_prob).mean()):.2f} "
+            f"T={float(r.traj_length):.2f} eps={float(r.step_size):.4f}"
+        )
+        print(json.dumps({
+            "metric": f"EXACT GP sampling, n={n_obs} obs "
+                      f"(OU state-space marginal, ChEES-HMC {CHAINS} chains)",
+            "value": round(rate, 2),
+            "unit": "samples/s/chip",
+            "seconds_per_transition": round(
+                dt / (CHAINS * (SAMPLES + WARMUP)), 5),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -104,7 +104,7 @@ def _sde_component_stats(args, ck, params, X, y, noise):
     state-space scale)."""
     import numpy as _np
 
-    from gaplac_tpu.inference.model import _markov_structure
+    from gaplac_tpu.inference.model import _markov_structure, markov_param_vals
     from gaplac_tpu.ops import markov_ss as mss
     from gaplac_tpu.ops.markov_ss import _BLOCK_DIM
 
@@ -117,8 +117,7 @@ def _sde_component_stats(args, ck, params, X, y, noise):
     kinds = tuple(b[0] for b in st.blocks)
     xs_sorted = [X[:, col][idx] if col >= 0 else None
                  for _, _, col in st.blocks]
-    vals = [jnp.asarray(1.0, dtype) if li < 0 else params[li]
-            for _, li, _ in st.blocks]
+    vals = markov_param_vals(ck, st, params, dtype)
     A, Q, H = mss.build_steps(kinds, vals, ts, xs_sorted, resets=st.resets)
     R = jnp.asarray(noise, dtype)
     for s in st.noise_slots:

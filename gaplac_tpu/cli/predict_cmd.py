@@ -162,7 +162,7 @@ def run(args) -> None:
         # OU/Matern/Constant/Linear (+ Noise) formulas: smoothing instead of
         # the dense O(n^3) solve
         from gaplac_tpu.inference.model import (
-            _markov_structure, markov_order_resets,
+            _markov_structure, markov_order_resets, markov_param_vals,
         )
         from gaplac_tpu.ops import markov
         from gaplac_tpu.ops import markov_ss as mss
@@ -195,8 +195,7 @@ def run(args) -> None:
                     p[st.blocks[0][1]], j_eff + sigma2, t_new
                 )
             else:
-                vals = [jnp.asarray(1.0, dtype) if li < 0 else p[li]
-                        for _, li, _ in st.blocks]
+                vals = markov_param_vals(ck, st, p, dtype)
                 mu, var_x = mss.ss_predict(
                     kinds, vals, t_train, xs_train,
                     y, j_eff + sigma2, t_new, xs_new,

@@ -159,7 +159,7 @@ def _sde_prior_draw(ck, X_np, params, key, dtype, jitter):
     """Exact state-space prior draw (--approx sde): f = H x* + √j_eff z
     where x* runs the Gauss-Markov recurrence as an associative scan —
     O(n log n), no gram (ref contract: rand(gp(X, 0.1)), sample.jl:25)."""
-    from gaplac_tpu.inference.model import _markov_structure
+    from gaplac_tpu.inference.model import _markov_structure, markov_param_vals
     from gaplac_tpu.ops import markov_ss as mss
 
     st = _markov_structure(ck, X_np)
@@ -169,8 +169,7 @@ def _sde_prior_draw(ck, X_np, params, key, dtype, jitter):
     X = jnp.asarray(X_np, dtype)
     xs_sorted = [X[:, col][idx] if col >= 0 else None
                  for _, _, col in st.blocks]
-    vals = [jnp.asarray(1.0, dtype) if li < 0 else params[li]
-            for _, li, _ in st.blocks]
+    vals = markov_param_vals(ck, st, params, dtype)
     A, Q, H = mss.build_steps(tuple(b[0] for b in st.blocks), vals, ts,
                               xs_sorted, resets=st.resets)
     j_eff = jnp.asarray(jitter, dtype)
@@ -192,7 +191,7 @@ def _sde_posterior_draw(ck, X_np, Xt_np, y, params, key, dtype, jitter,
     joint prior path and the solve is ss_smooth with the test rows
     unobserved — all O((n+m) log) associative scans, no gram."""
     from gaplac_tpu.inference.model import (
-        _markov_structure, markov_order_resets,
+        _markov_structure, markov_order_resets, markov_param_vals,
     )
     from gaplac_tpu.ops import markov_ss as mss
 
@@ -206,8 +205,7 @@ def _sde_posterior_draw(ck, X_np, Xt_np, y, params, key, dtype, jitter,
     ts = jnp.asarray(t_sorted, dtype)
     xs_sorted = [Jj[:, col][oj] if col >= 0 else None
                  for _, _, col in st.blocks]
-    vals = [jnp.asarray(1.0, dtype) if li < 0 else params[li]
-            for _, li, _ in st.blocks]
+    vals = markov_param_vals(ck, st, params, dtype)
     A, Q, H = mss.build_steps(tuple(b[0] for b in st.blocks), vals, ts,
                               xs_sorted, resets=resets)
     j_eff = jnp.asarray(jitter, dtype)

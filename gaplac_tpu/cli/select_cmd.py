@@ -128,7 +128,7 @@ def _markov_fixed_lp(args, ck, X, y) -> float:
     """Fixed-hyperparameter logpdf through the exact state-space path
     (--approx sde): parallel-Kalman log N(y; 0, K + (jitter + s2) I) —
     O(n log n), exact (ops/markov.py / ops/markov_ss.py)."""
-    from gaplac_tpu.inference.model import _markov_structure
+    from gaplac_tpu.inference.model import _markov_structure, markov_param_vals
     from gaplac_tpu.ops import markov
     from gaplac_tpu.ops import markov_ss as mss
 
@@ -142,8 +142,7 @@ def _markov_fixed_lp(args, ck, X, y) -> float:
         return float(markov.ou_loglik(ts, ys, p[st.blocks[0][1]], j_eff))
     A, Q, H = mss.build_steps(
         tuple(b[0] for b in st.blocks),
-        [jnp.asarray(1.0, X.dtype) if li < 0 else p[li]
-         for _, li, _ in st.blocks],
+        markov_param_vals(ck, st, p, X.dtype),
         ts,
         [X[:, col][idx] if col >= 0 else None for _, _, col in st.blocks],
         resets=st.resets,

@@ -280,6 +280,30 @@ class MarkovStructure:
     term_map: Tuple[Tuple[str, int], ...] = ()
 
 
+def markov_param_vals(ck: CompiledKernel, st: MarkovStructure, p, dtype):
+    """Per-block parameter payloads for ops/markov_ss.build_steps: the
+    leaf's natural scalar (unit variance for pure-Cat blocks); Periodic
+    blocks get (l, period) with the period read from the extended params
+    vector when dynamic (--infer-extra) else the static compile-time
+    extra."""
+    from gaplac_tpu.ops import markov_ss as _ss
+
+    vals = []
+    for bk, li, _ in st.blocks:
+        if li < 0:
+            vals.append(jnp.asarray(1.0, dtype))
+        elif bk == _ss.BLOCK_PERIODIC:
+            es = ck.extra_slots[li]
+            if es and p.shape[0] == ck.n_params and ck.n_params > ck.n_leaves:
+                period = p[es[0]]
+            else:
+                period = jnp.asarray(ck.extras[li][0], dtype)
+            vals.append((p[li], period))
+        else:
+            vals.append(p[li])
+    return vals
+
+
 def markov_order_resets(st: MarkovStructure, X):
     """Sort permutation, sorted time axis and per-block reset masks for an
     arbitrary row set with ``st``'s design columns (training rows at build
@@ -345,6 +369,8 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
         K_MATERN52,
         K_NOISE,
         K_OU,
+        K_PERIODIC,
+        K_SQEXP,
         KIND_NAMES,
     )
     from gaplac_tpu.ops import markov_ss as _ss
@@ -355,8 +381,13 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
         K_MATERN52: _ss.BLOCK_M52,
         K_CONST: _ss.BLOCK_CONST,
         K_LINEAR: _ss.BLOCK_LINEAR,
+        # the two APPROXIMATE blocks (every other block is exact): SqExp
+        # lowers to the order-6 spectral-Taylor SSM (max kernel error
+        # 4.3e-3); Periodic to the J-harmonic Fourier-series SSM
+        K_SQEXP: _ss.BLOCK_SQEXP,
+        K_PERIODIC: _ss.BLOCK_PERIODIC,
     }
-    markov_kinds = (K_OU, K_MATERN32, K_MATERN52)
+    markov_kinds = (K_OU, K_MATERN32, K_MATERN52, K_SQEXP, K_PERIODIC)
     blocks = []
     group_cols = []
     noise_slots = []
@@ -423,10 +454,10 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
                     )
         else:
             raise ValueError(
-                f"--approx sde supports additive OU / Matern32 / Matern52 / "
-                f"Constant / Linear / Noise terms (each optionally × Cat); "
-                f"got {KIND_NAMES[kind]} (no exact finite-dimensional "
-                f"state-space form; use --approx rff)"
+                f"--approx sde supports additive SqExp / OU / Matern32 / "
+                f"Matern52 / Periodic / Constant / Linear / Noise terms "
+                f"(each optionally × Cat); got {KIND_NAMES[kind]} (no "
+                f"finite-dimensional state-space form; use --approx rff)"
             )
     if len(time_vars) > 1:
         raise ValueError(
@@ -516,11 +547,8 @@ def build_gaussian_marginal_markov(
                          for r in st.resets)
 
         def _steps(p):
-            # leaf_slot -1 = pure-Cat term: unit-variance Constant block
-            vals = [jnp.asarray(1.0, dtype) if li < 0 else p[li]
-                    for _, li, _ in st.blocks]
-            return mss.build_steps(kinds, vals, ts, xs_sorted,
-                                   resets=resets_j)
+            return mss.build_steps(kinds, markov_param_vals(ck, st, p, dtype),
+                                   ts, xs_sorted, resets=resets_j)
 
         def latent_loglik(p, vals, R):
             A, Q, H = _steps(p)

@@ -76,10 +76,90 @@ def _mcombine(e1: _MElems, e2: _MElems) -> _MElems:
 # ---------------------------------------------------------------------------
 
 #: leaf block kinds understood by build_blocks
-BLOCK_OU, BLOCK_M32, BLOCK_M52, BLOCK_CONST, BLOCK_LINEAR = range(5)
+(BLOCK_OU, BLOCK_M32, BLOCK_M52, BLOCK_CONST, BLOCK_LINEAR, BLOCK_SQEXP,
+ BLOCK_PERIODIC) = range(7)
+
+#: Periodic harmonic count (Solin & Särkkä 2014): the kernel's Fourier
+#: series exp((cosθ−1)/l²) = Σ_j q_j²(l) cos(jθ) truncated at J harmonics
+#: (state dim 2J+1).  Truncation error grows as l shrinks (more harmonics
+#: matter); measured envelope in tests/results.
+PERIODIC_J = 10
+
+#: quadrature nodes for the Bessel coefficients q_j² = (2−δ_j0) e^{−x}I_j(x),
+#: evaluated as the midpoint rule on (1/π)∫₀^π e^{x(cosθ−1)} cos(jθ) dθ —
+#: spectrally accurate for a periodic integrand, jit/grad-safe in the
+#: DYNAMIC lengthscale x = 1/l² (no Bessel special function needed)
+_PERIODIC_QUAD_M = 256
+
+#: SqExp spectral-Taylor order (Hartikainen & Särkkä 2010): 1/S(ω) is
+#: Taylor-truncated at ω^{2N}, giving an order-N stable rational spectrum.
+#: N=6 has max kernel error 4.3e-3 (measured; N=4: 2.2e-2, N=8: 9e-4 but
+#: its companion eigenbasis is too ill-conditioned to be worth it).
+SQEXP_ORDER = 6
 
 _BLOCK_DIM = {BLOCK_OU: 1, BLOCK_M32: 2, BLOCK_M52: 3, BLOCK_CONST: 1,
-              BLOCK_LINEAR: 2}
+              BLOCK_LINEAR: 2, BLOCK_SQEXP: SQEXP_ORDER,
+              BLOCK_PERIODIC: 2 * PERIODIC_J + 1}
+
+
+def _sqexp_modal_constants(order: int = SQEXP_ORDER):
+    """Static (l-independent) real modal realization of the order-N
+    spectral-Taylor SqExp SSM, precomputed once in f64 numpy.
+
+    The l=1 spectrum is S(ω) ≈ q / P(ω²) with P the Taylor truncation of
+    1/S ∝ exp(ω²/2); its stable spectral factor's companion matrix is
+    diagonalized and converted to REAL modal form (2×2 rotation-scale
+    blocks), where the time-dilation property of lengthscale scaling makes
+    everything l-independent except the step phase τ = Δt/l:
+
+      A(Δt, l) = blockdiag( e^{α_p τ} R(β_p τ) ),   P∞, H constant.
+
+    The ill-conditioned eigenbasis (cond ≈ 1.2e4 at N=6) is confined to
+    this f64 precomputation; runtime math is rotations — f32/TPU-safe.
+    Returns (modes [(α, β)...], P∞ (N,N), h (N,)), P∞ normalized to unit
+    marginal variance."""
+    import numpy as _np
+    from scipy.linalg import solve_continuous_lyapunov
+
+    coefs = _np.zeros(2 * order + 1)
+    for k in range(order + 1):
+        coefs[2 * k] = (-0.5) ** k / math.factorial(k)
+    roots = _np.roots(coefs[::-1])
+    stable = roots[roots.real < 0]
+    assert len(stable) == order, "spectral factorization lost a root"
+    a = _np.real(_np.poly(stable))           # monic, highest power first
+    F = _np.zeros((order, order))
+    F[:-1, 1:] = _np.eye(order - 1)
+    F[-1, :] = -a[1:][::-1]
+    q = math.sqrt(2.0 * math.pi) * math.factorial(order) * 2.0 ** order
+    L = _np.zeros((order, 1))
+    L[-1, 0] = 1.0
+    P1 = solve_continuous_lyapunov(F, -q * (L @ L.T))
+    d, V = _np.linalg.eig(F)
+    cols, modes = [], []
+    for k in range(order):
+        if d[k].imag > 1e-12:
+            cols += [_np.real(V[:, k]), _np.imag(V[:, k])]
+            modes.append((float(d[k].real), float(d[k].imag)))
+        elif abs(d[k].imag) <= 1e-12:
+            cols.append(_np.real(V[:, k]))
+            modes.append((float(d[k].real), None))
+    T = _np.stack(cols, axis=1)
+    Ti = _np.linalg.inv(T)
+    Pz = Ti @ P1 @ Ti.T
+    Pz = 0.5 * (Pz + Pz.T)
+    h = T[0, :]
+    Pz = Pz / float(h @ Pz @ h)              # unit marginal variance
+    return tuple(modes), Pz, h
+
+
+_SQEXP_CONST_CACHE: dict = {}
+
+
+def _sqexp_constants_cached(order: int = SQEXP_ORDER):
+    if order not in _SQEXP_CONST_CACHE:
+        _SQEXP_CONST_CACHE[order] = _sqexp_modal_constants(order)
+    return _SQEXP_CONST_CACHE[order]
 
 
 def _block_APH(kind: int, dt: jnp.ndarray, param, x: jnp.ndarray):
@@ -140,6 +220,59 @@ def _block_APH(kind: int, dt: jnp.ndarray, param, x: jnp.ndarray):
         c = jnp.maximum(jnp.asarray(param, dtype).reshape(()), 1e-12)
         P = jnp.broadcast_to(jnp.reshape(c, (1, 1)), (n, 1, 1))
         H = jnp.ones((n, 1), dtype)
+        return A, P, H
+    if kind == BLOCK_SQEXP:
+        # order-N spectral-Taylor SE block (approximate; error measured in
+        # tests/test_markov.py + benchmarks/results): modal transition is a
+        # block-diagonal of damped rotations in the step phase τ = Δt/l
+        modes, Pz, h = _sqexp_constants_cached()
+        N = h.shape[0]
+        tau = dt / param
+        A = jnp.zeros((n, N, N), dtype)
+        off = 0
+        for al, be in modes:
+            e = jnp.exp(al * tau)
+            if be is None:
+                A = A.at[:, off, off].set(e)
+                off += 1
+            else:
+                c, s = jnp.cos(be * tau), jnp.sin(be * tau)
+                A = A.at[:, off, off].set(e * c)
+                A = A.at[:, off, off + 1].set(e * s)
+                A = A.at[:, off + 1, off].set(-e * s)
+                A = A.at[:, off + 1, off + 1].set(e * c)
+                off += 2
+        P = jnp.broadcast_to(jnp.asarray(Pz, dtype), (n, N, N))
+        H = jnp.broadcast_to(jnp.asarray(h, dtype), (n, N))
+        return A, P, H
+    if kind == BLOCK_PERIODIC:
+        # random-Fourier-series SSM: k(τ) = Σ_j q_j²(l) cos(j·2π/p·τ)
+        # truncated at J harmonics.  ``param`` = (l, period); each harmonic
+        # is a deterministic 2-d rotation (Q = 0 — the j=0 term a constant),
+        # so the state is an exact J-harmonic random periodic function.
+        l, period = param
+        J = PERIODIC_J
+        M = _PERIODIC_QUAD_M
+        theta = (jnp.arange(M, dtype=dtype) + 0.5) * (math.pi / M)
+        xq = 1.0 / (l * l)
+        wgt = jnp.exp(xq * (jnp.cos(theta) - 1.0))             # (M,)
+        js = jnp.arange(J + 1, dtype=dtype)
+        cos_tab = jnp.cos(js[:, None] * theta[None, :])        # static table
+        q2 = (cos_tab @ wgt) * (1.0 / M) * jnp.where(js == 0, 1.0, 2.0)
+        dtot = 2 * J + 1
+        A = jnp.zeros((n, dtot, dtot), dtype).at[:, 0, 0].set(1.0)
+        P = jnp.zeros((n, dtot, dtot), dtype).at[:, 0, 0].set(q2[0])
+        Hrow = jnp.zeros((dtot,), dtype).at[0].set(1.0)
+        w0 = 2.0 * math.pi / period
+        for j in range(1, J + 1):
+            ang = j * w0 * dt                                  # (n,)
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            o = 2 * j - 1
+            A = A.at[:, o, o].set(c).at[:, o, o + 1].set(s)
+            A = A.at[:, o + 1, o].set(-s).at[:, o + 1, o + 1].set(c)
+            P = P.at[:, o, o].set(q2[j]).at[:, o + 1, o + 1].set(q2[j])
+            Hrow = Hrow.at[o].set(1.0)
+        H = jnp.broadcast_to(Hrow, (n, dtot))
         return A, P, H
     if kind == BLOCK_LINEAR:
         A = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (n, 2, 2))
@@ -299,16 +432,29 @@ def ss_smooth(A, Q, H, y, R, obs=None):
     return suf.g, suf.L
 
 
+def psd_sqrt(Q: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric PSD square root of (..., d, d) matrices via eigh with
+    eigenvalue clamping: L = U √max(s, 0), L Lᵀ = Q₊.
+
+    Robust where a Cholesky sweep is not: step-noise matrices Q = P∞ −
+    A P∞ Aᵀ are exactly singular for static blocks and carry tiny NEGATIVE
+    roundoff eigenvalues for near-identity transitions (SqExp blocks at
+    small Δt/l), which a guarded Cholesky amplifies into huge factors.
+    jnp.linalg.eigh is LAPACK on CPU and a pure-HLO Jacobi/QDWH solve on
+    TPU — no cholesky custom call (the axon-fault class this module
+    avoids)."""
+    s, U = jnp.linalg.eigh(Q)
+    return U * jnp.sqrt(jnp.maximum(s, 0.0))[..., None, :]
+
+
 def ss_prior_sample(key, A, Q):
     """One exact prior state path x ~ the Gauss-Markov prior, via the matrix
     linear recurrence x_k = A_k x_{k-1} + L_k z_k (L_k L_kᵀ = Q_k) as an
-    associative scan.  Q's cholesky goes through the custom-call-free sweep
-    (ops/cholesky.py) — Q may be singular (static blocks), which the guarded
-    sweep maps to zero columns."""
-    from gaplac_tpu.ops.cholesky import cholesky_nocc
-
+    associative scan.  Q's square root is the clamped-eigh ``psd_sqrt`` —
+    Q may be singular (static blocks) or indefinite-by-roundoff (SqExp
+    blocks at tiny steps)."""
     n, d, _ = A.shape
-    Lq = cholesky_nocc(Q)
+    Lq = psd_sqrt(Q)
     z = jax.random.normal(key, (n, d), A.dtype)
     b = (Lq @ z[..., None])[..., 0]
 

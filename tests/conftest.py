@@ -16,3 +16,8 @@ import jax
 # the virtual 8-device CPU mesh, not through the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# jit compiles dominate suite wall-clock (hundreds of NUTS/ChEES/scan
+# programs); the persistent compilation cache makes repeat runs ~compile-free
+jax.config.update("jax_compilation_cache_dir", "/tmp/gaplac_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -401,13 +401,13 @@ def test_approx_command_matrix_unsupported_cells(tmp_path):
          str(chain), "--infer", "x", "--infer-extra", "x", "--approx", "rff",
          "--output", str(tmp_path / "f.png")],
         # sde-unsupported formulas raise in every command that takes sde
-        ["mcmc", "y ~| SqExp(:x)", "--data", str(data), "--infer", "x",
+        ["mcmc", "y ~| RQ(:x)", "--data", str(data), "--infer", "x",
          "--approx", "sde"],
-        ["sample", "y :~| Periodic(:x)", "--at", "x=0:1:5", "--approx",
+        ["sample", "y :~| RQ(:x)", "--at", "x=0:1:5", "--approx",
          "sde", "--output", str(tmp_path / "s.tsv")],
-        ["predict", "y ~| Periodic(:x)", "--data", str(data), "--at",
+        ["predict", "y ~| RQ(:x)", "--data", str(data), "--at",
          "x=0:1:5", "--approx", "sde", "--output", str(tmp_path / "p2.tsv")],
-        ["fitplot", "y ~| Periodic(:x)", "--data", str(data), "--approx",
+        ["fitplot", "y ~| RQ(:x)", "--data", str(data), "--approx",
          "sde", "--output", str(tmp_path / "f2.png")],
     ]
     for argv in bad:
