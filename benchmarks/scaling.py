@@ -82,6 +82,49 @@ def main_batch():
         }))
 
 
+def main_batch_frozen():
+    """Chain-BATCH scaling with adaptation FROZEN (VERDICT r2 task 8): one
+    8-chain adapted run fixes (T, eps); then chains 1,2,4,8 run sampling
+    only (num_warmup=0) at those values.  This isolates the hardware
+    amortization term — the r2 batch curve confounded it with ChEES
+    adaptation finding different (T, eps) equilibria per chain count."""
+    from gaplac_tpu.inference.chees import run_chees
+
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    model = _build_model(dtype)
+    q8 = jax.vmap(model.initial_position)(jax.random.split(jax.random.key(4), 8))
+    ref = jax.jit(
+        lambda k: run_chees(k, model.logdensity, q8, 50, num_warmup=WARMUP)
+    )(jax.random.key(5))
+    T = float(ref.traj_length)
+    eps = float(ref.step_size)
+    float(jnp.sum(ref.positions))
+    print(json.dumps({"mode": "frozen-ref", "T": round(T, 4),
+                      "eps": round(eps, 5),
+                      "accept": round(float(np.asarray(ref.accept_prob).mean()), 3)}))
+    base_rate = None
+    for C in (1, 2, 4, 8):
+        q0 = jax.vmap(model.initial_position)(jax.random.split(jax.random.key(6), C))
+        run = jax.jit(
+            lambda k, q: run_chees(k, model.logdensity, q, 2 * SAMPLES,
+                                   num_warmup=0, init_step_size=eps,
+                                   init_traj_length=T)
+        )
+        r = run(jax.random.key(7), q0)
+        float(jnp.sum(r.positions))
+        t0 = time.time()
+        r = run(jax.random.key(8), q0)
+        float(jnp.sum(r.positions))
+        rate = C * 2 * SAMPLES / (time.time() - t0)
+        if base_rate is None:
+            base_rate = rate
+        print(json.dumps({
+            "mode": "chain-batch-frozen-1dev", "chains": C,
+            "transitions_per_s": round(rate, 1),
+            "per_chain_efficiency_vs_1chain": round(rate / (base_rate * C), 3),
+        }))
+
+
 def main():
     from gaplac_tpu.inference.chees import run_chees
     from gaplac_tpu.parallel.mesh import chain_mesh
@@ -120,4 +163,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main_batch() if "batch" in sys.argv[1:] else main()
+    if "frozen" in sys.argv[1:]:
+        main_batch_frozen()
+    elif "batch" in sys.argv[1:]:
+        main_batch()
+    else:
+        main()
