@@ -696,9 +696,15 @@ def build_model(
     sigma2 = gaussian_obs_sigma2(likelihood)
     if approx == "sde":
         if sigma2 is None:
-            raise ValueError(
-                "--approx sde requires a Gaussian likelihood (the state-space "
-                "path marginalizes the latents analytically)"
+            # non-Gaussian: Laplace-marginalize the latents with every dense
+            # solve replaced by an O(n log n) Kalman pass
+            from gaplac_tpu.inference.laplace import (
+                build_laplace_marginal_markov,
+            )
+
+            return build_laplace_marginal_markov(
+                ck, groups, X, y, likelihood, aux=aux, jitter=jitter,
+                prior_bounds=prior_bounds,
             )
         return build_gaussian_marginal_markov(
             ck, groups, X, y, jitter=jitter, obs_sigma2=sigma2,

@@ -370,9 +370,12 @@ def ss_filter(A, Q, H, y, R, obs=None):
     return pre.b, pre.C
 
 
-def ss_loglik(A, Q, H, y, R):
-    """log N(y; 0, K + diag(R)) by prediction-error decomposition — the
-    matrix-state generalization of markov.ou_loglik."""
+def ss_loglik_parts(A, Q, H, y, R):
+    """Prediction-error decomposition pieces of N(y; 0, K + diag(R)):
+    (quad, logdet) with quad = yᵀ(K+diag(R))⁻¹y = Σ rᵢ²/Sᵢ and
+    logdet = log|K+diag(R)| = Σ log Sᵢ.  Powers both ``ss_loglik`` and the
+    state-space Laplace marginal (inference/laplace.py), which needs the
+    quadratic form and the determinant separately."""
     n, d, _ = A.shape
     dtype = A.dtype
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
@@ -384,7 +387,15 @@ def ss_loglik(A, Q, H, y, R):
     mean = jnp.einsum("nd,nd->n", H, m_pred)
     S = jnp.einsum("nd,nde,ne->n", H, P_pred, H) + Rv
     r = y - mean
-    return jnp.sum(-0.5 * (r * r / S + jnp.log(S) + _LOG_2PI))
+    return jnp.sum(r * r / S), jnp.sum(jnp.log(S))
+
+
+def ss_loglik(A, Q, H, y, R):
+    """log N(y; 0, K + diag(R)) by prediction-error decomposition — the
+    matrix-state generalization of markov.ou_loglik."""
+    n = A.shape[0]
+    quad, logdet = ss_loglik_parts(A, Q, H, y, R)
+    return -0.5 * (quad + logdet + n * _LOG_2PI)
 
 
 class _SElems(NamedTuple):

@@ -386,9 +386,7 @@ def test_approx_command_matrix_unsupported_cells(tmp_path):
         # laplace needs a non-Gaussian likelihood
         ["mcmc", "y ~| SqExp(:x)", "--data", str(data), "--infer", "x",
          "--approx", "laplace"],
-        # sde/rff need a Gaussian likelihood
-        ["mcmc", "z ~ Bernoulli | OU(:x)", "--data", str(data), "--infer",
-         "x", "--approx", "sde"],
+        # rff needs a Gaussian likelihood (sde now Laplace-marginalizes)
         ["mcmc", "z ~ Bernoulli | SqExp(:x)", "--data", str(data), "--infer",
          "x", "--approx", "rff"],
         # --infer-extra × rff: static shape parameters required
