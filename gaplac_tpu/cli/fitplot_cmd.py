@@ -104,9 +104,10 @@ def _sde_component_stats(args, ck, params, X, y, noise):
     state-space scale)."""
     import numpy as _np
 
-    from gaplac_tpu.inference.model import _markov_structure, markov_param_vals
+    from gaplac_tpu.inference.model import (
+        _markov_structure, markov_block_xs, markov_param_vals,
+    )
     from gaplac_tpu.ops import markov_ss as mss
-    from gaplac_tpu.ops.markov_ss import _BLOCK_DIM
 
     dtype = X.dtype
     st = _markov_structure(ck, _np.asarray(X))
@@ -115,8 +116,7 @@ def _sde_component_stats(args, ck, params, X, y, noise):
     ts = jnp.asarray(st.t_sorted, dtype)
     ys = y[idx]
     kinds = tuple(b[0] for b in st.blocks)
-    xs_sorted = [X[:, col][idx] if col >= 0 else None
-                 for _, _, col in st.blocks]
+    xs_sorted = markov_block_xs(st, X, idx=idx)
     vals = markov_param_vals(ck, st, params, dtype)
     A, Q, H = mss.build_steps(kinds, vals, ts, xs_sorted, resets=st.resets)
     R = jnp.asarray(noise, dtype)
@@ -125,7 +125,7 @@ def _sde_component_stats(args, ck, params, X, y, noise):
     m_s, P_s = mss.ss_smooth(A, Q, H, ys, R)
     h_mean = jnp.einsum("nd,nd->n", H, m_s)
     h_var = jnp.einsum("nd,nde,ne->n", H, P_s, H)
-    offs = _np.cumsum([0] + [_BLOCK_DIM[k] for k in kinds])
+    offs = _np.cumsum([0] + [mss.block_dim(k) for k in kinds])
 
     def component_stats(t):
         tag, i = st.term_map[t]

@@ -162,7 +162,8 @@ def run(args) -> None:
         # OU/Matern/Constant/Linear (+ Noise) formulas: smoothing instead of
         # the dense O(n^3) solve
         from gaplac_tpu.inference.model import (
-            _markov_structure, markov_order_resets, markov_param_vals,
+            _markov_structure, markov_block_xs, markov_order_resets,
+            markov_param_vals,
         )
         from gaplac_tpu.ops import markov
         from gaplac_tpu.ops import markov_ss as mss
@@ -180,8 +181,8 @@ def run(args) -> None:
             n_tr = X.shape[0]
             t_train = jnp.arange(n_tr, dtype=dtype)
             t_new = n_tr + jnp.arange(Xt.shape[0], dtype=dtype)
-        xs_train = [X[:, col] if col >= 0 else None for _, _, col in st.blocks]
-        xs_new = [Xt[:, col] if col >= 0 else None for _, _, col in st.blocks]
+        xs_train = markov_block_xs(st, X)
+        xs_new = markov_block_xs(st, Xt)
 
         def predict_one(theta):
             p = _params(theta)

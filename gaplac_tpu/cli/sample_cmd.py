@@ -159,7 +159,9 @@ def _sde_prior_draw(ck, X_np, params, key, dtype, jitter):
     """Exact state-space prior draw (--approx sde): f = H x* + √j_eff z
     where x* runs the Gauss-Markov recurrence as an associative scan —
     O(n log n), no gram (ref contract: rand(gp(X, 0.1)), sample.jl:25)."""
-    from gaplac_tpu.inference.model import _markov_structure, markov_param_vals
+    from gaplac_tpu.inference.model import (
+        _markov_structure, markov_block_xs, markov_param_vals,
+    )
     from gaplac_tpu.ops import markov_ss as mss
 
     st = _markov_structure(ck, X_np)
@@ -167,8 +169,7 @@ def _sde_prior_draw(ck, X_np, params, key, dtype, jitter):
     inv = jnp.asarray(np.argsort(st.sort_idx))
     ts = jnp.asarray(st.t_sorted, dtype)
     X = jnp.asarray(X_np, dtype)
-    xs_sorted = [X[:, col][idx] if col >= 0 else None
-                 for _, _, col in st.blocks]
+    xs_sorted = markov_block_xs(st, X, idx=idx)
     vals = markov_param_vals(ck, st, params, dtype)
     A, Q, H = mss.build_steps(tuple(b[0] for b in st.blocks), vals, ts,
                               xs_sorted, resets=st.resets)
@@ -191,7 +192,8 @@ def _sde_posterior_draw(ck, X_np, Xt_np, y, params, key, dtype, jitter,
     joint prior path and the solve is ss_smooth with the test rows
     unobserved — all O((n+m) log) associative scans, no gram."""
     from gaplac_tpu.inference.model import (
-        _markov_structure, markov_order_resets, markov_param_vals,
+        _markov_structure, markov_block_xs, markov_order_resets,
+        markov_param_vals,
     )
     from gaplac_tpu.ops import markov_ss as mss
 
@@ -203,8 +205,7 @@ def _sde_posterior_draw(ck, X_np, Xt_np, y, params, key, dtype, jitter,
     oj = jnp.asarray(order)
     Jj = jnp.asarray(J, dtype)
     ts = jnp.asarray(t_sorted, dtype)
-    xs_sorted = [Jj[:, col][oj] if col >= 0 else None
-                 for _, _, col in st.blocks]
+    xs_sorted = markov_block_xs(st, Jj, idx=oj)
     vals = markov_param_vals(ck, st, params, dtype)
     A, Q, H = mss.build_steps(tuple(b[0] for b in st.blocks), vals, ts,
                               xs_sorted, resets=resets)

@@ -128,7 +128,9 @@ def _markov_fixed_lp(args, ck, X, y) -> float:
     """Fixed-hyperparameter logpdf through the exact state-space path
     (--approx sde): parallel-Kalman log N(y; 0, K + (jitter + s2) I) —
     O(n log n), exact (ops/markov.py / ops/markov_ss.py)."""
-    from gaplac_tpu.inference.model import _markov_structure, markov_param_vals
+    from gaplac_tpu.inference.model import (
+        _markov_structure, markov_block_xs, markov_param_vals,
+    )
     from gaplac_tpu.ops import markov
     from gaplac_tpu.ops import markov_ss as mss
 
@@ -144,7 +146,7 @@ def _markov_fixed_lp(args, ck, X, y) -> float:
         tuple(b[0] for b in st.blocks),
         markov_param_vals(ck, st, p, X.dtype),
         ts,
-        [X[:, col][idx] if col >= 0 else None for _, _, col in st.blocks],
+        markov_block_xs(st, X, idx=idx),
         resets=st.resets,
     )
     return float(mss.ss_loglik(A, Q, H, ys, j_eff))

@@ -125,6 +125,7 @@ def build_laplace_marginal_markov(
 
     from gaplac_tpu.inference.model import (
         _markov_structure,
+        markov_block_xs,
         markov_param_vals,
     )
     from gaplac_tpu.ops import markov_ss as mss
@@ -141,10 +142,7 @@ def build_laplace_marginal_markov(
     ys = jnp.asarray(y, dtype)[idx]
     aux_s = None if aux is None else jnp.asarray(aux, dtype)[idx]
     kinds = tuple(b[0] for b in st.blocks)
-    xs_sorted = tuple(
-        jnp.asarray(X[:, col], dtype)[idx] if col >= 0 else None
-        for _, _, col in st.blocks
-    )
+    xs_sorted = tuple(markov_block_xs(st, jnp.asarray(X, dtype), idx=idx))
     resets_j = tuple(None if r is None else jnp.asarray(r)
                      for r in st.resets)
     loglik_fn = make_loglik(likelihood)

@@ -256,7 +256,9 @@ class MarkovStructure:
     ``blocks``: per additive term, (block_kind, leaf_slot, col) — OU /
     Matern32 / Matern52 / Constant / Linear (ops/markov_ss.py block kinds);
     ``leaf_slot == -1`` marks a pure-Cat term (a unit-variance Constant
-    block, since Cat products are 1 within a group).  ``group_cols``: the
+    block, since Cat products are 1 within a group).  Multi-factor product
+    terms store a TUPLE in each field ((kinds...), (slots...), (cols...))
+    and lower to the Kronecker-composed SSM.  ``group_cols``: the
     term's Cat design columns — the block restarts from its stationary
     prior at every group change (kernel×Cat grouping, exactly the
     block-diagonal-in-groups covariance of the reference's longitudinal
@@ -285,23 +287,46 @@ def markov_param_vals(ck: CompiledKernel, st: MarkovStructure, p, dtype):
     leaf's natural scalar (unit variance for pure-Cat blocks); Periodic
     blocks get (l, period) with the period read from the extended params
     vector when dynamic (--infer-extra) else the static compile-time
-    extra."""
+    extra.  Product blocks get a tuple of per-factor payloads."""
     from gaplac_tpu.ops import markov_ss as _ss
 
-    vals = []
-    for bk, li, _ in st.blocks:
+    def leaf_val(bk, li):
         if li < 0:
-            vals.append(jnp.asarray(1.0, dtype))
-        elif bk == _ss.BLOCK_PERIODIC:
+            return jnp.asarray(1.0, dtype)
+        if bk == _ss.BLOCK_PERIODIC:
             es = ck.extra_slots[li]
             if es and p.shape[0] == ck.n_params and ck.n_params > ck.n_leaves:
                 period = p[es[0]]
             else:
                 period = jnp.asarray(ck.extras[li][0], dtype)
-            vals.append((p[li], period))
+            return (p[li], period)
+        return p[li]
+
+    vals = []
+    for bk, li, _ in st.blocks:
+        if isinstance(bk, tuple):
+            vals.append(tuple(leaf_val(b, s) for b, s in zip(bk, li)))
         else:
-            vals.append(p[li])
+            vals.append(leaf_val(bk, li))
     return vals
+
+
+def markov_block_xs(st: MarkovStructure, X, idx=None):
+    """Per-block data-column payloads for ops/markov_ss.build_steps: the
+    leaf's data column (None when unused — everything except Linear), a
+    tuple of per-factor columns for product blocks.  ``idx`` optionally
+    permutes rows (the state-space sort order)."""
+
+    def one(col):
+        if col < 0:
+            return None
+        v = X[:, col]
+        return v if idx is None else v[idx]
+
+    return [
+        tuple(one(c) for c in col) if isinstance(col, tuple) else one(col)
+        for _, _, col in st.blocks
+    ]
 
 
 def markov_order_resets(st: MarkovStructure, X):
@@ -354,7 +379,9 @@ def markov_order_resets(st: MarkovStructure, X):
 def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
     """Validate + extract the state-space structure for --approx sde.
 
-    Supported terms: one OU / Matern32 / Matern52 / Constant / Linear leaf
+    Supported terms: products of SqExp / OU / Matern32 / Matern52 / Periodic
+    / Constant / Linear leaves (multi-factor products lower to the
+    Kronecker-composed SSM — e.g. quasi-periodic Periodic*Matern), each
     optionally multiplied by any number of Cat leaves (per-group independent
     state-space chains), pure-Cat products (group random intercepts,
     variance 1), and Noise.  All OU/Matern leaves must share ONE time
@@ -396,17 +423,62 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
     time_col = -1
     markov_gvars = None
     markov_gcols: Tuple[int, ...] = ()
+    def note_markov(li, cats, gcols):
+        """Shared-time-axis / shared-grouping bookkeeping for a Markov
+        (dt-dependent) leaf — single-leaf terms and product factors alike."""
+        nonlocal time_col, markov_gvars, markov_gcols
+        time_vars.add(ck.leaf_vars[li])
+        gvars = frozenset(ck.leaf_vars[c] for c in cats)
+        if markov_gvars is None:
+            time_col = ck.cols[li]
+            markov_gvars = gvars
+            markov_gcols = gcols
+        elif gvars != markov_gvars:
+            raise ValueError(
+                "--approx sde needs all OU/Matern leaves to share "
+                "ONE Cat grouping; got groupings "
+                f"{sorted(markov_gvars)} and {sorted(gvars)}"
+            )
+
     for term in ck.terms:
         cats = [li for li in term if ck.kinds[li] == K_CAT]
         others = [li for li in term if ck.kinds[li] != K_CAT]
         gcols = tuple(ck.cols[li] for li in cats)
         if len(others) > 1:
-            raise ValueError(
-                "--approx sde: product terms may multiply at most ONE "
-                "non-Cat kernel with Cat factors; got a product of "
-                f"{[KIND_NAMES[ck.kinds[li]] for li in others]} "
-                "(no finite-dimensional state-space form; use --approx rff)"
-            )
+            # PRODUCT kernel: Kronecker-composed SSM (markov_ss._block_APH) —
+            # e.g. the quasi-periodic Periodic*Matern / Periodic*OU of
+            # longitudinal seasonality.  Exact for products of exact factor
+            # blocks; state dim is the product of factor dims.
+            bks, slots, cols = [], [], []
+            for li in others:
+                kind = ck.kinds[li]
+                if kind not in block_of:
+                    raise ValueError(
+                        "--approx sde: product factors must be SqExp / OU / "
+                        "Matern32 / Matern52 / Periodic / Constant / Linear "
+                        f"(each optionally × Cat); got {KIND_NAMES[kind]} "
+                        "inside a product (no state-space form; use the "
+                        "dense path or --approx rff)"
+                    )
+                bks.append(block_of[kind])
+                slots.append(li)
+                cols.append(ck.cols[li])
+                if kind in markov_kinds:
+                    note_markov(li, cats, gcols)
+            dim = 1
+            for b in bks:
+                dim *= _ss.block_dim(b)
+            if dim > 64:
+                import logging
+                logging.getLogger("gaplac").warning(
+                    "--approx sde: product term's Kronecker state dimension "
+                    "is %d — O(n·d³) filtering will be slow; consider the "
+                    "dense path or --approx rff for this formula", dim,
+                )
+            term_map.append(("b", len(blocks)))
+            blocks.append((tuple(bks), tuple(slots), tuple(cols)))
+            group_cols.append(gcols)
+            continue
         if not others:
             # pure-Cat product: k = 1[g==g'] — a unit-variance group
             # random intercept (Constant block with per-group resets)
@@ -440,18 +512,7 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
             if kind in markov_kinds:
                 # repeated uses of one variable get separate (duplicate)
                 # design columns, so the shared-axis check is by varname
-                time_vars.add(ck.leaf_vars[li])
-                gvars = frozenset(ck.leaf_vars[c] for c in cats)
-                if markov_gvars is None:
-                    time_col = ck.cols[li]
-                    markov_gvars = gvars
-                    markov_gcols = gcols
-                elif gvars != markov_gvars:
-                    raise ValueError(
-                        "--approx sde needs all OU/Matern leaves to share "
-                        "ONE Cat grouping; got groupings "
-                        f"{sorted(markov_gvars)} and {sorted(gvars)}"
-                    )
+                note_markov(li, cats, gcols)
         else:
             raise ValueError(
                 f"--approx sde supports additive SqExp / OU / Matern32 / "
@@ -520,10 +581,7 @@ def build_gaussian_marginal_markov(
     inv_idx = jnp.asarray(_np.argsort(st.sort_idx))
     ys = jnp.asarray(y, dtype)[idx]
     kinds = tuple(b[0] for b in st.blocks)
-    xs_sorted = tuple(
-        jnp.asarray(X[:, col], dtype)[idx] if col >= 0 else None
-        for _, _, col in st.blocks
-    )
+    xs_sorted = tuple(markov_block_xs(st, jnp.asarray(X, dtype), idx=idx))
 
     def _jeff(p):
         j_eff = jnp.asarray(jitter, dtype)

@@ -109,6 +109,30 @@ _BLOCK_DIM = {BLOCK_OU: 1, BLOCK_M32: 2, BLOCK_M52: 3, BLOCK_CONST: 1,
               BLOCK_PERIODIC: 2 * PERIODIC_J + 1}
 
 
+def block_dim(kind) -> int:
+    """State dimension of a block kind; a tuple of kinds is a PRODUCT
+    kernel (Kronecker-composed SSM) whose dimension multiplies."""
+    if isinstance(kind, tuple):
+        d = 1
+        for k in kind:
+            d *= block_dim(k)
+        return d
+    return _BLOCK_DIM[kind]
+
+
+def _kron_mat(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched Kronecker product of (n,a,a) and (n,b,b) -> (n,ab,ab)."""
+    n, a, _ = A.shape
+    b = B.shape[-1]
+    return jnp.einsum("nij,nkl->nikjl", A, B).reshape(n, a * b, a * b)
+
+
+def _kron_vec(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched Kronecker product of (n,a) and (n,b) row vectors -> (n,ab)."""
+    n = u.shape[0]
+    return jnp.einsum("ni,nk->nik", u, v).reshape(n, -1)
+
+
 def _sqexp_modal_constants(order: int = SQEXP_ORDER):
     """Static (l-independent) real modal realization of the order-N
     spectral-Taylor SqExp SSM, precomputed once in f64 numpy.
@@ -175,6 +199,26 @@ def _block_APH(kind: int, dt: jnp.ndarray, param, x: jnp.ndarray):
     (the first element uses A=0); ``x`` is the leaf's data column (Linear)."""
     n = dt.shape[0]
     dtype = dt.dtype
+    if isinstance(kind, tuple):
+        # PRODUCT kernel k = Π k_i: Kronecker-composed SSM (the quasi-periodic
+        # construction of Solin & Särkkä 2014 generalized to any factor mix).
+        # With factor blocks (A_i, P_i, H_i), the composite
+        #   A = ⊗ A_i,  P∞ = ⊗ P_i,  H = ⊗ H_i,  Q = P∞ − A P∞ Aᵀ
+        # has covariance H A(Δ) P∞ Hᵀ = Π H_i A_i(Δ) P_i H_iᵀ = Π k_i(Δ):
+        # A(Δ) stays a semigroup (Kron of semigroups), and Q ⪰ 0 since
+        # P₁⊗P₂ − S₁⊗S₂ = (P₁−S₁)⊗P₂ + S₁⊗(P₂−S₂) with S_i = A_iP_iA_iᵀ ⪯ P_i.
+        # EXACT for products of exact factor blocks (OU/Matern/Const/Linear);
+        # products with SqExp/Periodic inherit only those factors' measured
+        # truncation error.  Ref parity: the reference composes products via
+        # AbstractGPs kernel multiplication (src/gplac.jl formula products).
+        A = P = H = None
+        for k, pr, xk in zip(kind, param, x):
+            Ak, Pk, Hk = _block_APH(k, dt, pr, xk)
+            if A is None:
+                A, P, H = Ak, Pk, Hk
+            else:
+                A, P, H = _kron_mat(A, Ak), _kron_mat(P, Pk), _kron_vec(H, Hk)
+        return A, P, H
     if kind == BLOCK_OU:
         lam = 1.0 / param
         A = jnp.exp(-lam * dt)[:, None, None]
@@ -333,12 +377,12 @@ def build_steps(
         As.append(A)
         Ps.append(P)
         Hs.append(H)
-    d = sum(_BLOCK_DIM[k] for k in kinds)
+    d = sum(block_dim(k) for k in kinds)
     A = jnp.zeros((n, d, d), dtype)
     P = jnp.zeros((n, d, d), dtype)
     off = 0
     for kind, Ab, Pb in zip(kinds, As, Ps):
-        db = _BLOCK_DIM[kind]
+        db = block_dim(kind)
         A = A.at[:, off:off + db, off:off + db].set(Ab)
         P = P.at[:, off:off + db, off:off + db].set(Pb)
         off += db
@@ -502,13 +546,25 @@ def ss_predict(kinds, params, t, xs, y, R, t_new, xs_new,
         jnp.broadcast_to(jnp.asarray(R, y.dtype), (n,)),
         jnp.ones((m,), y.dtype),
     ])
-    xs_j = [
-        None if xo is None else jnp.concatenate([xo, xn])
-        for xo, xn in zip(xs, xs_new)
-    ]
+    def _join(xo, xn):
+        if xo is None:
+            return None
+        if isinstance(xo, tuple):  # product block: per-factor columns
+            return tuple(_join(a, b) for a, b in zip(xo, xn))
+        return jnp.concatenate([xo, xn])
+
+    xs_j = [_join(xo, xn) for xo, xn in zip(xs, xs_new)]
     if order is None:
         order = jnp.argsort(tj)
-    xs_s = [None if x is None else x[order] for x in xs_j]
+
+    def _perm(x):
+        if x is None:
+            return None
+        if isinstance(x, tuple):
+            return tuple(_perm(a) for a in x)
+        return x[order]
+
+    xs_s = [_perm(x) for x in xs_j]
     A, Q, H = build_steps(kinds, params, tj[order], xs_s, resets=resets)
     m_s, P_s = ss_smooth(A, Q, H, yj[order], Rv[order], obs=obs[order])
     mu = jnp.einsum("nd,nd->n", H, m_s)

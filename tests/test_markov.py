@@ -198,7 +198,7 @@ def test_sde_rejects_unsupported_formulas():
     y = jnp.zeros(10)
     for f, msg in [
         ("y ~| RQ(:x)", "rff"),
-        ("y ~| OU(:x) * Linear(:x)", "product"),
+        ("y ~| OU(:x) * RQ(:x)", "product"),
         ("y ~| Noise(:x) * Cat(:x)", "Noise"),
     ]:
         spec = parse_formula(f)
@@ -716,3 +716,107 @@ def test_periodic_sde_accuracy():
     mgd = build_model(ckg, ["x"], Xg, y, specg.likelihood)
     u = jnp.asarray([0.5])
     assert abs(float(mg.logdensity(u)) - float(mgd.logdensity(u))) < 1e-8
+
+
+def test_product_sde_matches_dense():
+    """Multi-factor product terms lower to the Kronecker-composed SSM
+    (ops/markov_ss.py::_block_APH product branch): A = ⊗A_i, P∞ = ⊗P_i,
+    H = ⊗H_i — EXACT for products of exact factor blocks, since the
+    composite covariance H A(Δ) P∞ Hᵀ factorizes into Π H_i A_i(Δ) P_i H_iᵀ.
+    Value AND gradient parity vs the dense marginal (the reference composes
+    products via AbstractGPs kernel multiplication, src/gplac.jl)."""
+    rng = np.random.default_rng(3)
+    n = 60
+    x = np.sort(rng.uniform(0, 10, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(x) + rng.normal(0, 0.5, n))
+    for formula in ("y ~| OU(:x) * Matern32(:x) + Noise",
+                    "y ~| Matern52(:x) * Linear(:x) + Noise"):
+        spec = parse_formula(formula)
+        ck = compile_formula(spec.formula)
+        m_sde = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
+        m_dense = build_model(ck, ["x"], X, y, spec.likelihood)
+        for seed in range(3):
+            u = jax.random.uniform(jax.random.key(seed), (m_sde.dim,),
+                                   minval=-1.5, maxval=1.5)
+            a, b = float(m_sde.logdensity(u)), float(m_dense.logdensity(u))
+            assert abs(a - b) < 1e-7 * max(1.0, abs(b)), formula
+            ga = np.asarray(jax.grad(m_sde.logdensity)(u))
+            gb = np.asarray(jax.grad(m_dense.logdensity)(u))
+            np.testing.assert_allclose(ga, gb, rtol=1e-6, atol=1e-8)
+
+
+def test_grouped_product_sde_matches_dense():
+    """Product × Cat grouping: (OU·Matern32)(t,t')·1[g==g'] — per-group
+    independent Kronecker chains via the reset mechanism, the longitudinal
+    quasi-kernel workflow at state-space cost (ref test/pred.jl:3-6)."""
+    rng = np.random.default_rng(11)
+    n = 90
+    g = rng.integers(0, 3, n).astype(float)
+    t = rng.uniform(0, 10, n)
+    spec = parse_formula("y ~| OU(:t)*Matern32(:t)*Cat(:g) + Cat(:g) + Noise")
+    ck = compile_formula(spec.formula)
+    X = jnp.asarray(np.stack([t, t, g, g], 1))
+    y = jnp.asarray(rng.normal(0, 1, n))
+    m_sde = build_model(ck, ["t"], X, y, spec.likelihood, approx="sde")
+    m_dense = build_model(ck, ["t"], X, y, spec.likelihood)
+    for seed in range(3):
+        u = jax.random.uniform(jax.random.key(seed), (m_sde.dim,),
+                               minval=-1.5, maxval=1.5)
+        a, b = float(m_sde.logdensity(u)), float(m_dense.logdensity(u))
+        assert abs(a - b) < 1e-7 * max(1.0, abs(b))
+        ga = np.asarray(jax.grad(m_sde.logdensity)(u))
+        gb = np.asarray(jax.grad(m_dense.logdensity)(u))
+        np.testing.assert_allclose(ga, gb, rtol=1e-6, atol=1e-8)
+
+
+def test_quasiperiodic_sde_accuracy():
+    """The QUASI-PERIODIC kernel Periodic(p)·Matern32 — THE longitudinal
+    seasonality model — through the product SSM at controlled lengthscales:
+    parity vs dense inherits only the Periodic factor's J=10 truncation
+    envelope (tests/test_markov.py::test_periodic_sde_accuracy)."""
+    rng = np.random.default_rng(5)
+    n = 120
+    x = np.sort(rng.uniform(0, 12, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(2 * np.pi * x / 3.0) * np.exp(-0.05 * x)
+                    + rng.normal(0, 0.3, n))
+    spec = parse_formula("y ~| Periodic(:x; p=3.0) * Matern32(:x) + Noise")
+    ck = compile_formula(spec.formula)
+    ms = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
+    md = build_model(ck, ["x"], X, y, spec.likelihood)
+    for l_per, l_m, tol in [(0.7, 2.0, 1e-3), (1.5, 5.0, 1e-6),
+                            (1.0, 1.0, 1e-4)]:
+        u = ms.position_from(jnp.asarray([l_per, l_m, 0.3]), None)
+        a, b = float(ms.logdensity(u)), float(md.logdensity(u))
+        assert abs(a - b) < tol * max(1.0, abs(b)), (l_per, l_m)
+
+
+def test_product_ss_predict_matches_dense():
+    """ss_predict through a product block: posterior mean/var at new points
+    for (Matern32·Linear) + Constant must equal the dense GP posterior."""
+    from gaplac_tpu.ops import markov_ss as ss
+
+    rng = np.random.default_rng(2)
+    n, m, R = 40, 10, 0.4
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(rng.standard_normal(n))
+    tn = jnp.asarray(np.sort(rng.uniform(-1, 11, m)))
+    kinds = [(ss.BLOCK_M32, ss.BLOCK_LINEAR), ss.BLOCK_CONST]
+    params = [(0.9, 0.5), 0.7]
+    kf = lambda a, b: _kfun(1, 0.9)(jnp.concatenate([a, b]))[:a.shape[0],
+                                                            a.shape[0]:]
+    lam = 3.0 ** 0.5 / 0.9
+    d = lambda a, b: jnp.abs(a[:, None] - b[None, :])
+    kxf = lambda a, b: ((1 + lam * d(a, b)) * jnp.exp(-lam * d(a, b))
+                        * (a[:, None] * b[None, :] + 0.5) + 0.7)
+    Kxx = kxf(t, t)
+    sol = jnp.linalg.solve(Kxx + R * jnp.eye(n), jnp.eye(n))
+    mu_d = kxf(tn, t) @ sol @ y
+    var_d = (jnp.diag(kxf(tn, tn))
+             - jnp.einsum("md,de,me->m", kxf(tn, t), sol, kxf(tn, t)))
+    mu_s, var_s = ss.ss_predict(kinds, params, t, [(None, t), None], y, R,
+                                tn, [(None, tn), None])
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_d),
+                               atol=1e-8)
