@@ -21,6 +21,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent compile cache: the large-n ChEES/value+grad programs take
+# minutes to compile through the tunnel — cache across retries/sessions
+jax.config.update("jax_compilation_cache_dir", "/tmp/gaplac_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,8 +34,12 @@ N_OBS = 1 << 20
 CHAINS, WARMUP, SAMPLES = 8, 100, 100
 #: escalate through these sizes with host-synced progress lines, so a hung
 #: tunnel identifies the first sticking stage (the final size is the
-#: headline; smaller ones also chart the O(n log n) scaling)
-STAGES = (1 << 14, 1 << 17, 1 << 20)
+#: headline; smaller ones also chart the O(n log n) scaling).  Override with
+#: GAPLAC_SDE_STAGES=1048576 (comma-separated) to retry one stage alone.
+STAGES = tuple(
+    int(s) for s in os.environ.get(
+        "GAPLAC_SDE_STAGES", f"{1 << 14},{1 << 17},{1 << 20}").split(",")
+)
 
 
 def say(msg):

@@ -110,7 +110,10 @@ def _sde_component_stats(args, ck, params, X, y, noise):
     from gaplac_tpu.ops import markov_ss as mss
 
     dtype = X.dtype
-    st = _markov_structure(ck, _np.asarray(X))
+    st = _markov_structure(
+        ck, _np.asarray(X),
+        dynamic_slots=getattr(args, "_sde_dynamic_slots", ()),
+    )
     idx = jnp.asarray(st.sort_idx)
     inv = jnp.asarray(_np.argsort(st.sort_idx))
     ts = jnp.asarray(st.t_sorted, dtype)
@@ -177,6 +180,7 @@ def run(args) -> None:
                                           infer_extras=extras)
         else:
             slot_groups = default_slot_groups(ck)
+        args._sde_dynamic_slots = {s for g in slot_groups for s in g}
         means = _hyper_draws(args.mcmc, n_hyper=len(slot_groups)).mean(axis=0)
         for g, slots in enumerate(slot_groups):
             if slots:

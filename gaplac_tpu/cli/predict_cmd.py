@@ -168,7 +168,9 @@ def run(args) -> None:
         from gaplac_tpu.ops import markov
         from gaplac_tpu.ops import markov_ss as mss
 
-        st = _markov_structure(ck, X)
+        st = _markov_structure(
+            ck, X, dynamic_slots={s for g in slot_groups for s in g},
+        )
         kinds = tuple(b[0] for b in st.blocks)
         # joined train+test sort order / group-reset masks (static)
         order_j, _, resets_j = markov_order_resets(

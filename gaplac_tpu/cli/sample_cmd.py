@@ -98,6 +98,7 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
     X_np, Xt_np = design_matrices(df, tdf, ck)
     X, Xt = jnp.asarray(X_np, dtype), jnp.asarray(Xt_np, dtype)
 
+    dynamic_slots = ()
     if getattr(args, "mcmc", None):
         from gaplac_tpu.cli.common import default_slot_groups
         from gaplac_tpu.cli.predict_cmd import _hyper_draws
@@ -114,6 +115,7 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
                                           infer_extras=extras)
         else:
             slot_groups = default_slot_groups(ck)
+        dynamic_slots = {s for g in slot_groups for s in g}
         draws = _hyper_draws(args.mcmc, n_hyper=len(slot_groups))
         row = int(jax.random.randint(key, (), 0, len(draws)))
         theta = draws[row]
@@ -143,7 +145,7 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
     if getattr(args, "approx", "none") == "sde":
         return _sde_posterior_draw(
             ck, X_np, Xt_np, y, params, jax.random.fold_in(key, 1), dtype,
-            jitter, sigma2,
+            jitter, sigma2, dynamic_slots=dynamic_slots,
         )
 
     K_xx = ck.gram(params, X) + jitter * jnp.eye(X.shape[0], dtype=dtype)
@@ -185,7 +187,7 @@ def _sde_prior_draw(ck, X_np, params, key, dtype, jitter):
 
 
 def _sde_posterior_draw(ck, X_np, Xt_np, y, params, key, dtype, jitter,
-                        sigma2):
+                        sigma2, dynamic_slots=()):
     """Matheron pathwise posterior draw at the test points through the
     joined train+test state-space smoother (--approx sde):
     f_t = f*_t + K_tx (K + j_eff I + σ² I)⁻¹ (y − f*_x − ε*), where f* is a
@@ -197,7 +199,7 @@ def _sde_posterior_draw(ck, X_np, Xt_np, y, params, key, dtype, jitter,
     )
     from gaplac_tpu.ops import markov_ss as mss
 
-    st = _markov_structure(ck, X_np)
+    st = _markov_structure(ck, X_np, dynamic_slots=dynamic_slots)
     n, m = X_np.shape[0], Xt_np.shape[0]
     J = np.vstack([np.asarray(X_np), np.asarray(Xt_np)])
     order, t_sorted, resets = markov_order_resets(st, J)

@@ -135,7 +135,8 @@ def build_laplace_marginal_markov(
     n = y.shape[0]
     dtype = X.dtype
     params_from = _params_from(ck, slot_groups, dtype)
-    st = _markov_structure(ck, _np.asarray(X))
+    st = _markov_structure(ck, _np.asarray(X),
+                           dynamic_slots={s for g in slot_groups for s in g})
     idx = jnp.asarray(st.sort_idx)
     inv_idx = jnp.asarray(_np.argsort(st.sort_idx))
     ts = jnp.asarray(st.t_sorted, dtype)

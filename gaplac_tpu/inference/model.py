@@ -300,6 +300,12 @@ def markov_param_vals(ck: CompiledKernel, st: MarkovStructure, p, dtype):
             else:
                 period = jnp.asarray(ck.extras[li][0], dtype)
             return (p[li], period)
+        if bk == _ss.BLOCK_RQ:
+            # alpha is STATIC under sde (quadrature nodes are polynomial
+            # roots); --infer-extra × RQ × sde is rejected at structure
+            # extraction (``_markov_structure(dynamic_slots=...)``)
+            c, w = _ss.rq_mixture_constants(float(ck.extras[li][0]))
+            return (p[li], jnp.asarray(c, dtype), jnp.asarray(w, dtype))
         return p[li]
 
     vals = []
@@ -376,7 +382,7 @@ def markov_order_resets(st: MarkovStructure, X):
     return order, t_sorted, tuple(resets)
 
 
-def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
+def _markov_structure(ck: CompiledKernel, X, dynamic_slots=()) -> MarkovStructure:
     """Validate + extract the state-space structure for --approx sde.
 
     Supported terms: products of SqExp / OU / Matern32 / Matern52 / Periodic
@@ -397,6 +403,7 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
         K_NOISE,
         K_OU,
         K_PERIODIC,
+        K_RQ,
         K_SQEXP,
         KIND_NAMES,
     )
@@ -408,13 +415,15 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
         K_MATERN52: _ss.BLOCK_M52,
         K_CONST: _ss.BLOCK_CONST,
         K_LINEAR: _ss.BLOCK_LINEAR,
-        # the two APPROXIMATE blocks (every other block is exact): SqExp
-        # lowers to the order-6 spectral-Taylor SSM (max kernel error
-        # 4.3e-3); Periodic to the J-harmonic Fourier-series SSM
+        # the APPROXIMATE blocks (every other block is exact): SqExp lowers
+        # to the order-6 spectral-Taylor SSM (max kernel error 4.3e-3);
+        # Periodic to the J-harmonic Fourier-series SSM; RQ to the K-node
+        # Gamma mixture of SqExp blocks (static alpha)
         K_SQEXP: _ss.BLOCK_SQEXP,
         K_PERIODIC: _ss.BLOCK_PERIODIC,
+        K_RQ: _ss.BLOCK_RQ,
     }
-    markov_kinds = (K_OU, K_MATERN32, K_MATERN52, K_SQEXP, K_PERIODIC)
+    markov_kinds = (K_OU, K_MATERN32, K_MATERN52, K_SQEXP, K_PERIODIC, K_RQ)
     blocks = []
     group_cols = []
     noise_slots = []
@@ -423,6 +432,20 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
     time_col = -1
     markov_gvars = None
     markov_gcols: Tuple[int, ...] = ()
+    dynamic_slots = frozenset(dynamic_slots)
+
+    def check_static_extras(kind, li):
+        # RQ's alpha selects static quadrature nodes (polynomial roots, not
+        # differentiable) — unlike Periodic's period, it cannot be dynamic
+        if kind == K_RQ and any(s in dynamic_slots
+                                for s in ck.extra_slots[li]):
+            raise ValueError(
+                "--approx sde: RQ's alpha cannot be inferred "
+                "(--infer-extra) — the Gamma-mixture quadrature nodes are "
+                "static polynomial roots; drop --infer-extra for this "
+                "variable or use the dense path"
+            )
+
     def note_markov(li, cats, gcols):
         """Shared-time-axis / shared-grouping bookkeeping for a Markov
         (dt-dependent) leaf — single-leaf terms and product factors alike."""
@@ -460,6 +483,7 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
                         "inside a product (no state-space form; use the "
                         "dense path or --approx rff)"
                     )
+                check_static_extras(kind, li)
                 bks.append(block_of[kind])
                 slots.append(li)
                 cols.append(ck.cols[li])
@@ -506,6 +530,7 @@ def _markov_structure(ck: CompiledKernel, X) -> MarkovStructure:
             noise_slots.append(li)
             term_map.append(("n", li))
         elif kind in block_of:
+            check_static_extras(kind, li)
             term_map.append(("b", len(blocks)))
             blocks.append((block_of[kind], li, ck.cols[li]))
             group_cols.append(gcols)
@@ -575,7 +600,8 @@ def build_gaussian_marginal_markov(
     n = y.shape[0]
     dtype = X.dtype
     params_from = _params_from(ck, slot_groups, dtype)
-    st = _markov_structure(ck, X)
+    st = _markov_structure(ck, X,
+                           dynamic_slots={s for g in slot_groups for s in g})
     ts = jnp.asarray(st.t_sorted, dtype)
     idx = jnp.asarray(st.sort_idx)
     inv_idx = jnp.asarray(_np.argsort(st.sort_idx))

@@ -84,7 +84,7 @@ def _mcombine(e1: _MElems, e2: _MElems) -> _MElems:
 
 #: leaf block kinds understood by build_blocks
 (BLOCK_OU, BLOCK_M32, BLOCK_M52, BLOCK_CONST, BLOCK_LINEAR, BLOCK_SQEXP,
- BLOCK_PERIODIC) = range(7)
+ BLOCK_PERIODIC, BLOCK_RQ) = range(8)
 
 #: Periodic harmonic count (Solin & Särkkä 2014): the kernel's Fourier
 #: series exp((cosθ−1)/l²) = Σ_j q_j²(l) cos(jθ) truncated at J harmonics
@@ -104,9 +104,17 @@ _PERIODIC_QUAD_M = 256
 #: its companion eigenbasis is too ill-conditioned to be worth it).
 SQEXP_ORDER = 6
 
+#: RQ Gamma-mixture size: RQ(τ; l, α) = E_{v~Γ(α,1)} exp(−v τ²/(2αl²)) is
+#: EXACTLY a Gamma mixture of SqExp kernels with lengthscales l√(α/v)
+#: (Gamma MGF), so the RQ block is K SqExp SSM sub-blocks at generalized
+#: Gauss–Laguerre nodes (weight v^{α−1}e^{−v}) — quadrature error measured
+#: in tests/results alongside the SqExp block's own truncation error.
+RQ_MIX_K = 8
+
 _BLOCK_DIM = {BLOCK_OU: 1, BLOCK_M32: 2, BLOCK_M52: 3, BLOCK_CONST: 1,
               BLOCK_LINEAR: 2, BLOCK_SQEXP: SQEXP_ORDER,
-              BLOCK_PERIODIC: 2 * PERIODIC_J + 1}
+              BLOCK_PERIODIC: 2 * PERIODIC_J + 1,
+              BLOCK_RQ: SQEXP_ORDER * RQ_MIX_K}
 
 
 def block_dim(kind) -> int:
@@ -191,6 +199,53 @@ def _sqexp_constants_cached(order: int = SQEXP_ORDER):
     if order not in _SQEXP_CONST_CACHE:
         _SQEXP_CONST_CACHE[order] = _sqexp_modal_constants(order)
     return _SQEXP_CONST_CACHE[order]
+
+
+_RQ_CONST_CACHE: dict = {}
+
+
+def rq_mixture_constants(alpha: float, K: int = RQ_MIX_K):
+    """Static (f64 numpy) Gamma-mixture quadrature for the RQ block:
+    per-component lengthscale multipliers c_k = √(α/v_k) and normalized
+    weights w_k (Σw = 1, so k(0) = 1 exactly), with (v_k, w_k) the K-node
+    generalized Gauss–Laguerre rule for weight v^{α−1}e^{−v} — exact for
+    polynomial integrands of degree < 2K against the Gamma(α,1) density.
+    α is STATIC (nodes are polynomial roots — not differentiable), matching
+    the rff path's static-shape-parameter contract.
+
+    Two candidate rules are built and the one with smaller max kernel error
+    on a τ ∈ [0, 30] grid kept (all f64 numpy, cached per (α, K)):
+    (a) the GGL rule itself — near-optimal for α ≳ 2 where the mixture
+    density is light-tailed; (b) Gamma-QUANTILE nodes with NNLS-fitted
+    nonnegative weights (soft Σw=1) — far better for heavy-tailed α ≲ 1,
+    where GGL's bulk-optimal nodes miss the polynomial kernel tail
+    (measured: α=0.5, K=8: 8.8e-3 vs GGL 1.3e-1)."""
+    key = (float(alpha), K)
+    if key not in _RQ_CONST_CACHE:
+        import numpy as _np
+        from scipy.optimize import nnls
+        from scipy.special import gammaln, roots_genlaguerre
+        from scipy.stats import gamma as _gamma
+
+        tau = _np.concatenate([_np.linspace(0.0, 30.0, 400),
+                               _np.geomspace(0.01, 30.0, 200)])
+        krq = (1.0 + tau ** 2 / (2.0 * alpha)) ** (-alpha)
+
+        def max_err(v, w):
+            kmix = _np.exp(-v[None, :] * tau[:, None] ** 2 / (2 * alpha)) @ w
+            return _np.abs(kmix - krq).max()
+
+        v1, w1 = roots_genlaguerre(K, alpha - 1.0)
+        w1 = w1 / _np.exp(gammaln(alpha))
+        w1 = w1 / w1.sum()
+        v2 = _gamma.ppf((_np.arange(K) + 0.5) / K, alpha)
+        Phi = _np.exp(-v2[None, :] * tau[:, None] ** 2 / (2 * alpha))
+        w2, _ = nnls(_np.vstack([Phi, 10.0 * _np.ones((1, K))]),
+                     _np.concatenate([krq, [10.0]]))
+        w2 = w2 / w2.sum()
+        v, w = min(((v1, w1), (v2, w2)), key=lambda vw: max_err(*vw))
+        _RQ_CONST_CACHE[key] = (_np.sqrt(alpha / v), w)
+    return _RQ_CONST_CACHE[key]
 
 
 def _block_APH(kind: int, dt: jnp.ndarray, param, x: jnp.ndarray):
@@ -325,6 +380,25 @@ def _block_APH(kind: int, dt: jnp.ndarray, param, x: jnp.ndarray):
             Hrow = Hrow.at[o].set(1.0)
         H = jnp.broadcast_to(Hrow, (n, dtot))
         return A, P, H
+    if kind == BLOCK_RQ:
+        # Gamma-mixture of SqExp blocks (exact mixture identity; see
+        # rq_mixture_constants): K independent SqExp sub-blocks at
+        # lengthscales l·c_k, measurement scaled by √w_k so the mixture
+        # covariance Σ w_k k_se(τ/(l c_k)) ≈ RQ(τ; l, α).
+        l, c, w = param
+        K = c.shape[0]
+        dse = SQEXP_ORDER
+        d = K * dse
+        A = jnp.zeros((n, d, d), dtype)
+        P = jnp.zeros((n, d, d), dtype)
+        Hs = []
+        for k in range(K):
+            Ak, Pk, Hk = _block_APH(BLOCK_SQEXP, dt, l * c[k], None)
+            o = k * dse
+            A = A.at[:, o:o + dse, o:o + dse].set(Ak)
+            P = P.at[:, o:o + dse, o:o + dse].set(Pk)
+            Hs.append(jnp.sqrt(w[k]) * Hk)
+        return A, P, jnp.concatenate(Hs, -1)
     if kind == BLOCK_LINEAR:
         A = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (n, 2, 2))
         c = jnp.maximum(jnp.asarray(param, dtype).reshape(()), 1e-12)

@@ -197,8 +197,7 @@ def test_sde_rejects_unsupported_formulas():
     X = jnp.asarray(np.linspace(0, 1, 10)[:, None])
     y = jnp.zeros(10)
     for f, msg in [
-        ("y ~| RQ(:x)", "rff"),
-        ("y ~| OU(:x) * RQ(:x)", "product"),
+        ("y ~| OU(:x) * Noise", "product"),
         ("y ~| Noise(:x) * Cat(:x)", "Noise"),
     ]:
         spec = parse_formula(f)
@@ -820,3 +819,47 @@ def test_product_ss_predict_matches_dense():
     np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-9)
     np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_d),
                                atol=1e-8)
+
+
+def test_rq_sde_accuracy():
+    """RQ block = Gamma-mixture of SqExp SSM blocks (exact mixture identity
+    via the Gamma MGF; hybrid GGL / quantile+NNLS quadrature — see
+    ops/markov_ss.py::rq_mixture_constants).  Marginal-lp parity vs dense
+    within the measured envelope (n=200: |dlp| <= 0.26 nats over
+    alpha in [0.5, 5], l in [0.3, 3]); gradients finite."""
+    rng = np.random.default_rng(0)
+    n = 200
+    x = np.sort(rng.uniform(0, 10, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(x) + rng.normal(0, 0.5, n))
+    for alpha in (0.5, 2.0):
+        spec = parse_formula(f"y ~| RQ(:x; alpha={alpha}) + Noise")
+        ck = compile_formula(spec.formula)
+        ms = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
+        md = build_model(ck, ["x"], X, y, spec.likelihood)
+        for ell, tol in [(0.3, 0.15), (1.0, 0.1), (3.0, 0.3)]:
+            u = ms.position_from(jnp.asarray([ell, 0.3]), None)
+            a, b = float(ms.logdensity(u)), float(md.logdensity(u))
+            assert abs(a - b) < tol, (alpha, ell, a - b)
+            g = np.asarray(jax.grad(ms.logdensity)(u))
+            assert np.isfinite(g).all()
+
+
+def test_rq_sde_rejects_dynamic_alpha():
+    """--infer-extra on an RQ variable under sde must raise at build (the
+    quadrature nodes are static polynomial roots), not silently use the
+    static alpha."""
+    rng = np.random.default_rng(1)
+    n = 30
+    x = np.sort(rng.uniform(0, 10, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(rng.normal(0, 1, n))
+    spec = parse_formula("y ~| RQ(:x; alpha=2.0)")
+    ck = compile_formula(spec.formula)
+    with pytest.raises(ValueError, match="alpha cannot be inferred"):
+        build_model(ck, ["x"], X, y, spec.likelihood, approx="sde",
+                    infer_extras=["x"])
+    # while Periodic's period stays dynamic-OK and RQ WITHOUT --infer-extra
+    # builds fine
+    m = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
+    assert np.isfinite(float(m.logdensity(jnp.zeros(m.dim))))
