@@ -727,7 +727,7 @@ def test_product_sde_matches_dense():
     rng = np.random.default_rng(3)
     n = 60
     x = np.sort(rng.uniform(0, 10, n))
-    X = jnp.asarray(x[:, None])
+    X = jnp.asarray(np.stack([x, x], 1))  # one design column per leaf
     y = jnp.asarray(np.sin(x) + rng.normal(0, 0.5, n))
     for formula in ("y ~| OU(:x) * Matern32(:x) + Noise",
                     "y ~| Matern52(:x) * Linear(:x) + Noise"):
@@ -777,7 +777,7 @@ def test_quasiperiodic_sde_accuracy():
     rng = np.random.default_rng(5)
     n = 120
     x = np.sort(rng.uniform(0, 12, n))
-    X = jnp.asarray(x[:, None])
+    X = jnp.asarray(np.stack([x, x], 1))  # one design column per leaf
     y = jnp.asarray(np.sin(2 * np.pi * x / 3.0) * np.exp(-0.05 * x)
                     + rng.normal(0, 0.3, n))
     spec = parse_formula("y ~| Periodic(:x; p=3.0) * Matern32(:x) + Noise")
