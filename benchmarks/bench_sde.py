@@ -71,24 +71,29 @@ def main():
             approx="sde",
         )
 
-        # raw vmapped value+grad rate (the leapfrog hot op), chained in-graph
+        # raw vmapped value+grad rate (the leapfrog hot op), chained in-graph.
+        # The O(n) data arrays are passed as jit ARGUMENTS (logdensity_data):
+        # the closure form embeds them as multi-MB HLO literals, which the
+        # remote TPU compile service handles pathologically at n=2^20
         q0 = jax.vmap(model.initial_position)(
             jax.random.split(jax.random.key(5), CHAINS))
         ITERS = 20
 
         @jax.jit
-        def vg(qs):
+        def vg(qs, d):
             def body(c, _):
-                g = jax.vmap(jax.grad(model.logdensity))(qs + 1e-6 * c)
+                g = jax.vmap(
+                    jax.grad(lambda q: model.logdensity_data(q, d))
+                )(qs + 1e-6 * c)
                 return 1e-9 * jnp.sum(g), None
             c, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), None,
                                 length=ITERS)
             return c
 
-        float(vg(q0))
+        float(vg(q0, model.data))
         say(f"n={n_obs}: value+grad compiled")
         t0 = time.time()
-        float(vg(q0))
+        float(vg(q0, model.data))
         dt_vg = (time.time() - t0) / ITERS
         print(json.dumps({
             "metric": f"sde exact marginal value+grad, n={n_obs}, "
@@ -99,14 +104,15 @@ def main():
         }), flush=True)
 
         run = jax.jit(
-            lambda k: run_chees(k, model.logdensity, q0, SAMPLES,
-                                num_warmup=WARMUP)
+            lambda k, d: run_chees(
+                k, lambda u: model.logdensity_data(u, d), q0, SAMPLES,
+                num_warmup=WARMUP)
         )
-        r = run(jax.random.key(6))
+        r = run(jax.random.key(6), model.data)
         float(jnp.sum(r.positions))  # compile + host sync
         say(f"n={n_obs}: ChEES compiled")
         t0 = time.time()
-        r = run(jax.random.key(7))
+        r = run(jax.random.key(7), model.data)
         float(jnp.sum(r.positions))
         dt = time.time() - t0
         rate = CHAINS * (SAMPLES + WARMUP) / dt

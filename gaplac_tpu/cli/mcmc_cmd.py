@@ -173,10 +173,11 @@ def run(args) -> None:
             num_warmup = 0
             log.info("resuming from %s (warmup skipped)", args.resume)
 
-    def one_chain(k, q0, eps0, im0):
+    def one_chain(k, q0, eps0, im0, d=None):
         return run_nuts(
             k,
-            model.logdensity,
+            model.logdensity if d is None
+            else (lambda u: model.logdensity_data(u, d)),
             q0,
             num_samples,
             num_warmup=num_warmup,
@@ -198,15 +199,18 @@ def run(args) -> None:
         im0s = jnp.broadcast_to(
             jnp.asarray(resume_state["inv_mass"], dtype), (n_chains, model.dim)
         )
-        sampler = jax.jit(jax.vmap(one_chain))
+        sampler = jax.jit(lambda ks, qs, es, ims, d: jax.vmap(
+            lambda k, q, e, im: one_chain(k, q, e, im, d))(ks, qs, es, ims))
     else:
         eps0s = im0s = None
-        sampler = jax.jit(jax.vmap(lambda k, q0: one_chain(k, q0, None, None)))
+        sampler = jax.jit(lambda ks, qs, d: jax.vmap(
+            lambda k, q: one_chain(k, q, None, None, d))(ks, qs))
     run_keys, init_positions = shard_chain_axis(run_keys, init_positions)
+    mdata = getattr(model, "data", None)
     with profiling.phase("mcmc.sample+compile"):
-        res = sampler(run_keys, init_positions) if resume_state is None else sampler(
-            run_keys, init_positions, eps0s, im0s
-        )
+        res = (sampler(run_keys, init_positions, mdata)
+               if resume_state is None
+               else sampler(run_keys, init_positions, eps0s, im0s, mdata))
         # host-transfer sync (block_until_ready is async through the axon tunnel)
         float(jnp.sum(res.step_size))
     elapsed = time.time() - t0
@@ -255,18 +259,23 @@ def _chain_report(model, report_keys, positions, want_latents=True):
     (8 chains x 200 draws x 262144 f32 ~ 1.7 GB)."""
 
     @jax.jit
-    @jax.vmap
-    def go(keys, qs):
-        def one(kq):
-            theta, f, lp = model.report(*kq)
-            return (theta, f, lp) if want_latents else (theta, lp)
+    def go(keys, qs, d):
+        @jax.vmap
+        def per_chain(keys, qs):
+            def one(kq):
+                theta, f, lp = (model.report(*kq) if d is None
+                                else model.report(kq[0], kq[1], d))
+                return (theta, f, lp) if want_latents else (theta, lp)
 
-        return jax.lax.map(one, (keys, qs))
+            return jax.lax.map(one, (keys, qs))
 
+        return per_chain(keys, qs)
+
+    mdata = getattr(model, "data", None)
     if want_latents:
-        thetas, fs, lps = go(report_keys, positions)
+        thetas, fs, lps = go(report_keys, positions, mdata)
         return np.asarray(thetas), np.asarray(fs), np.asarray(lps)
-    thetas, lps = go(report_keys, positions)
+    thetas, lps = go(report_keys, positions, mdata)
     return np.asarray(thetas), None, np.asarray(lps)
 
 
@@ -340,13 +349,19 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
     q0 = jax.vmap(model.initial_position)(jax.random.split(k_init, n_chains))
     t0 = _time.time()
     with profiling.phase("mcmc.chees+compile"):
+        # data (when the model exposes it) enters the program as jit
+        # PARAMETERS, not closure literals — at large n the literal form's
+        # multi-MB HLO hangs the remote TPU compile (GPModel.logdensity_data)
         res = jax.jit(
-            lambda k: run_chees(
-                k, model.logdensity, q0, num_samples, num_warmup=num_warmup,
+            lambda k, d: run_chees(
+                k,
+                model.logdensity if d is None
+                else (lambda u: model.logdensity_data(u, d)),
+                q0, num_samples, num_warmup=num_warmup,
                 target_accept=args.target_accept,
                 progress=getattr(args, "progress", False),
             )
-        )(k_run)
+        )(k_run, getattr(model, "data", None))
         float(jnp.sum(res.step_size))
     elapsed = _time.time() - t0
     total = n_chains * (num_samples + num_warmup)

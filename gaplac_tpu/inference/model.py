@@ -107,6 +107,16 @@ class GPModel:
     #: (theta, f) -> unconstrained position v; inverse of report's draw —
     #: powers warm-start/extension from a previous chain's last row
     position_from: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None
+    #: optional data-as-arguments form: ``logdensity_data(u, data)`` ==
+    #: ``logdensity(u)`` when called with ``data``.  Large-n callers jit
+    #: ``lambda key, data: sampler(..., lambda u: m.logdensity_data(u, data))``
+    #: so the O(n) arrays enter the program as PARAMETERS — jitting the
+    #: closure form embeds them as multi-MB HLO literals, which the TPU
+    #: compile service handles pathologically (measured: n=2^20 OU program
+    #: = 17 MB of hex literals, remote compile hangs >45 min; the same
+    #: program with data parameters compiles normally)
+    logdensity_data: Callable = None
+    data: "object" = None
 
 
 def _params_from(ck: CompiledKernel, slot_groups, dtype):
@@ -609,6 +619,12 @@ def build_gaussian_marginal_markov(
     kinds = tuple(b[0] for b in st.blocks)
     xs_sorted = tuple(markov_block_xs(st, jnp.asarray(X, dtype), idx=idx))
 
+    resets_j = tuple(None if r is None else jnp.asarray(r)
+                     for r in st.resets)
+    #: the O(n) arrays, exposed as GPModel.data so large-n callers can pass
+    #: them through jit as PARAMETERS (see GPModel.logdensity_data)
+    data = {"ts": ts, "ys": ys, "xs": xs_sorted, "resets": resets_j}
+
     def _jeff(p):
         j_eff = jnp.asarray(jitter, dtype)
         for s in st.noise_slots:
@@ -618,63 +634,66 @@ def build_gaussian_marginal_markov(
     if st.scalar_ou:
         ou_slot = st.blocks[0][1]
 
-        def latent_loglik(p, vals, R):
-            return markov.ou_loglik(ts, vals, p[ou_slot], R)
+        def latent_loglik(p, vals, R, d):
+            return markov.ou_loglik(d["ts"], vals, p[ou_slot], R)
 
-        def smooth_mean(p, vals, R):
-            return markov.ou_smooth(ts, vals, p[ou_slot], R)[0]
+        def smooth_mean(p, vals, R, d):
+            return markov.ou_smooth(d["ts"], vals, p[ou_slot], R)[0]
 
-        def prior_path(key, p):
-            return markov.ou_prior_sample(key, ts, p[ou_slot])
+        def prior_path(key, p, d):
+            return markov.ou_prior_sample(key, d["ts"], p[ou_slot])
     else:
-        resets_j = tuple(None if r is None else jnp.asarray(r)
-                         for r in st.resets)
 
-        def _steps(p):
+        def _steps(p, d):
             return mss.build_steps(kinds, markov_param_vals(ck, st, p, dtype),
-                                   ts, xs_sorted, resets=resets_j)
+                                   d["ts"], d["xs"], resets=d["resets"])
 
-        def latent_loglik(p, vals, R):
-            A, Q, H = _steps(p)
+        def latent_loglik(p, vals, R, d):
+            A, Q, H = _steps(p, d)
             return mss.ss_loglik(A, Q, H, vals, R)
 
-        def smooth_mean(p, vals, R):
-            A, Q, H = _steps(p)
+        def smooth_mean(p, vals, R, d):
+            A, Q, H = _steps(p, d)
             m_s, _ = mss.ss_smooth(A, Q, H, vals, R)
             return jnp.einsum("nd,nd->n", H, m_s)
 
-        def prior_path(key, p):
-            A, Q, H = _steps(p)
+        def prior_path(key, p, d):
+            A, Q, H = _steps(p, d)
             return jnp.einsum("nd,nd->n", H, mss.ss_prior_sample(key, A, Q))
 
-    def logdensity(u: jnp.ndarray) -> jnp.ndarray:
+    def logdensity_data(u: jnp.ndarray, d) -> jnp.ndarray:
         theta = tr.forward(u)
         p = params_from(theta)
         return (
-            latent_loglik(p, ys, _jeff(p) + obs_sigma2)
+            latent_loglik(p, d["ys"], _jeff(p) + obs_sigma2, d)
             + jnp.sum(tr.logprior_u(u))
         )
 
-    def report(key: jax.Array, u: jnp.ndarray):
+    def logdensity(u: jnp.ndarray) -> jnp.ndarray:
+        return logdensity_data(u, data)
+
+    def report(key: jax.Array, u: jnp.ndarray, d=None):
+        d = data if d is None else d
         theta = tr.forward(u)
         p = params_from(theta)
         j_eff = _jeff(p)
+        ys_d = d["ys"]
         kx, kj, ke = jax.random.split(key, 3)
         # Matheron: prior draw f* = x* + sqrt(j_eff) ζ, obs-noise draw ε*
-        x_star = prior_path(kx, p)
+        x_star = prior_path(kx, p, d)
         f_star = x_star + jnp.sqrt(j_eff) * jax.random.normal(kj, (n,), dtype)
         eps = jnp.sqrt(jnp.asarray(obs_sigma2, dtype)) * jax.random.normal(
             ke, (n,), dtype
         )
-        r = ys - f_star - eps
-        m_x = smooth_mean(p, r, j_eff + obs_sigma2)
+        r = ys_d - f_star - eps
+        m_x = smooth_mean(p, r, j_eff + obs_sigma2, d)
         corr = m_x + j_eff * (r - m_x) / (j_eff + obs_sigma2)
         f_sorted = f_star + corr
         lp = (
             jnp.sum(tr.logprior_x(theta))
-            + latent_loglik(p, f_sorted, j_eff)
+            + latent_loglik(p, f_sorted, j_eff, d)
             + jnp.sum(
-                -0.5 * ((ys - f_sorted) ** 2 / obs_sigma2
+                -0.5 * ((ys_d - f_sorted) ** 2 / obs_sigma2
                         + jnp.log(obs_sigma2) + _LOG_2PI)
             )
         )
@@ -687,7 +706,7 @@ def build_gaussian_marginal_markov(
         return tr.inverse(jnp.asarray(theta, dtype))
 
     return GPModel(nh, nh, logdensity, report, tr.forward, initial_position, True,
-                   position_from)
+                   position_from, logdensity_data=logdensity_data, data=data)
 
 
 def build_latent_whitened(
