@@ -399,14 +399,19 @@ def test_approx_command_matrix_unsupported_cells(tmp_path):
          str(chain), "--infer", "x", "--infer-extra", "x", "--approx", "rff",
          "--output", str(tmp_path / "f.png")],
         # sde-unsupported formulas raise in every command that takes sde
-        ["mcmc", "y ~| RQ(:x)", "--data", str(data), "--infer", "x",
+        # (a Noise factor inside a product has no state-space form; RQ is
+        # supported since round 3 via the Gamma-mixture block)
+        ["mcmc", "y ~| OU(:x) * Noise", "--data", str(data), "--infer", "x",
          "--approx", "sde"],
-        ["sample", "y :~| RQ(:x)", "--at", "x=0:1:5", "--approx",
+        ["sample", "y :~| OU(:x) * Noise", "--at", "x=0:1:5", "--approx",
          "sde", "--output", str(tmp_path / "s.tsv")],
-        ["predict", "y ~| RQ(:x)", "--data", str(data), "--at",
+        ["predict", "y ~| OU(:x) * Noise", "--data", str(data), "--at",
          "x=0:1:5", "--approx", "sde", "--output", str(tmp_path / "p2.tsv")],
-        ["fitplot", "y ~| RQ(:x)", "--data", str(data), "--approx",
+        ["fitplot", "y ~| OU(:x) * Noise", "--data", str(data), "--approx",
          "sde", "--output", str(tmp_path / "f2.png")],
+        # --infer-extra × RQ × sde: alpha's quadrature nodes are static
+        ["mcmc", "y ~| RQ(:x)", "--data", str(data), "--infer", "x",
+         "--infer-extra", "x", "--approx", "sde"],
     ]
     for argv in bad:
         rc = main(["--platform", "cpu"] + argv)
