@@ -709,6 +709,117 @@ def build_gaussian_marginal_markov(
                    position_from, logdensity_data=logdensity_data, data=data)
 
 
+def build_latent_whitened_markov(
+    ck: CompiledKernel,
+    slot_groups: Tuple[Tuple[int, ...], ...],
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    likelihood: LikelihoodSpec,
+    aux: Optional[jnp.ndarray] = None,
+    jitter: float = mvn.DEFAULT_JITTER,
+    prior_bounds: Tuple[float, float] = DEFAULT_PRIOR_BOUNDS,
+) -> GPModel:
+    """Whitened latent model over v = [u (nh,), z (n,)] with f = L(θ) z
+    realized by the state-space INNOVATION recurrence instead of a dense
+    Cholesky (``--approx sde --no-marginalize``; any likelihood).
+
+    The innovation factorization of K + j·I is its unique Cholesky
+    factorization in time order (ops/markov_ss.py::ss_innovation_coeffs),
+    so for exact blocks this is the SAME model as ``build_latent_whitened``
+    on sorted rows — built from two O(n log n) associative scans with no
+    n×n matrix and no cholesky custom call (immune to the axon
+    worker's batched-cholesky fault),
+    and usable at observation counts the dense whitened path cannot touch.
+    Reference parity: the whitened non-Gaussian NUTS path
+    (src/liklihoods.jl via Turing) at state-space cost."""
+    import numpy as _np
+
+    from gaplac_tpu.ops import markov_ss as mss
+
+    tr = as_prior(prior_bounds)
+    nh = len(slot_groups)
+    n = y.shape[0]
+    dtype = X.dtype
+    params_from = _params_from(ck, slot_groups, dtype)
+    loglik = make_loglik(likelihood)
+    st = _markov_structure(ck, X,
+                           dynamic_slots={s for g in slot_groups for s in g})
+    ts = jnp.asarray(st.t_sorted, dtype)
+    idx = jnp.asarray(st.sort_idx)
+    inv_idx = jnp.asarray(_np.argsort(st.sort_idx))
+    ys = jnp.asarray(y, dtype)[idx]
+    aux_s = None if aux is None else jnp.asarray(aux, dtype)[idx]
+    kinds = tuple(b[0] for b in st.blocks)
+    xs_sorted = tuple(markov_block_xs(st, jnp.asarray(X, dtype), idx=idx))
+    resets_j = tuple(None if r is None else jnp.asarray(r)
+                     for r in st.resets)
+    data = {"ts": ts, "ys": ys, "xs": xs_sorted, "resets": resets_j,
+            "aux": aux_s}
+
+    def _jeff(p):
+        # Noise leaves are diagonal kernel components: under whitening they
+        # fold into the innovation jitter exactly as in the dense gram
+        j = jnp.asarray(jitter, dtype)
+        for s in st.noise_slots:
+            j = j + p[s]
+        return j
+
+    def _steps(p, d):
+        return mss.build_steps(kinds, markov_param_vals(ck, st, p, dtype),
+                               d["ts"], d["xs"], resets=d["resets"])
+
+    def _whiten(u, z, d):
+        theta = tr.forward(u)
+        p = params_from(theta)
+        A, Q, H = _steps(p, d)
+        Kg, S = mss.ss_innovation_coeffs(A, Q, H, _jeff(p))
+        return theta, mss.ss_whiten_apply(A, H, Kg, S, z), S
+
+    def logdensity_data(v: jnp.ndarray, d) -> jnp.ndarray:
+        u, z = v[:nh], v[nh:]
+        _, f, _ = _whiten(u, z, d)
+        return (
+            jnp.sum(tr.logprior_u(u))
+            - 0.5 * jnp.sum(z * z)
+            - 0.5 * n * _LOG_2PI
+            + jnp.sum(loglik(d["ys"], f, d["aux"]))
+        )
+
+    def logdensity(v: jnp.ndarray) -> jnp.ndarray:
+        return logdensity_data(v, data)
+
+    def report(key: jax.Array, v: jnp.ndarray, d=None):
+        d = data if d is None else d
+        u, z = v[:nh], v[nh:]
+        theta, f, S = _whiten(u, z, d)
+        # log N(f; 0, LLᵀ) = −½(Σz² + Σlog S + n log 2π) — the prediction
+        # -error decomposition, identical to mvn_logpdf_chol(L, f)
+        lp = (
+            jnp.sum(tr.logprior_x(theta))
+            - 0.5 * (jnp.sum(z * z) + jnp.sum(jnp.log(S)) + n * _LOG_2PI)
+            + jnp.sum(loglik(d["ys"], f, d["aux"]))
+        )
+        return theta, f[inv_idx], lp
+
+    def initial_position(key: jax.Array) -> jnp.ndarray:
+        ku, kz = jax.random.split(key)
+        u0 = jax.random.uniform(ku, (nh,), dtype, -2.0, 2.0)
+        z0 = 0.1 * jax.random.normal(kz, (n,), dtype)
+        return jnp.concatenate([u0, z0])
+
+    def position_from(theta: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+        u = tr.inverse(jnp.asarray(theta, dtype))
+        p = params_from(tr.forward(u))
+        A, Q, H = _steps(p, data)
+        Kg, S = mss.ss_innovation_coeffs(A, Q, H, _jeff(p))
+        z = mss.ss_unwhiten(A, H, Kg, S, jnp.asarray(f, dtype)[idx])
+        return jnp.concatenate([u, z])
+
+    return GPModel(nh + n, nh, logdensity, report, tr.forward,
+                   initial_position, False, position_from,
+                   logdensity_data=logdensity_data, data=data)
+
+
 def build_latent_whitened(
     ck: CompiledKernel,
     slot_groups: Tuple[Tuple[int, ...], ...],
@@ -798,6 +909,14 @@ def build_model(
                              infer_extras=infer_extras)
     sigma2 = gaussian_obs_sigma2(likelihood)
     if approx == "sde":
+        if not marginalize:
+            # joint (whitened) sampling over [θ, z] — f = Lz via the
+            # innovation recurrence; exact NUTS for ANY likelihood at
+            # state-space cost
+            return build_latent_whitened_markov(
+                ck, groups, X, y, likelihood, aux=aux, jitter=jitter,
+                prior_bounds=prior_bounds,
+            )
         if sigma2 is None:
             # non-Gaussian: Laplace-marginalize the latents with every dense
             # solve replaced by an O(n log n) Kalman pass

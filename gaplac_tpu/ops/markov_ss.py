@@ -568,6 +568,69 @@ def ss_smooth(A, Q, H, y, R, obs=None):
     return suf.g, suf.L
 
 
+def ss_innovation_coeffs(A, Q, H, jitter):
+    """Data-independent innovation decomposition of K + jitter·I.
+
+    The filtered covariances P_f of the state-space model do not depend on
+    the observations, so one (parallel) covariance filter with obs variance
+    ``jitter`` yields the per-step predicted covariance P_pred, innovation
+    variance S_k = H P_pred Hᵀ + jitter and Kalman gain K_k = P_pred H / S_k.
+    The affine innovation recurrence
+
+        x̂_k = A_k x̂_{k-1} + K_k √S_k z_k
+        f_k  = H_k A_k x̂_{k-1} + √S_k z_k,   z ~ N(0, I)
+
+    then realizes f = L z with L·Lᵀ = K + jitter·I and L LOWER-TRIANGULAR
+    in step order with positive diagonal √S — i.e. L IS the Cholesky factor
+    (the innovation factorization is the unique such factorization), built
+    without any Cholesky sweep: the TPU-native whitening map for
+    ``build_latent_whitened_markov`` (reference parity: the whitened
+    non-Gaussian path of src/liklihoods.jl at state-space cost).
+    Returns (gains K (n,d), innovation variances S (n,))."""
+    n, d, _ = A.shape
+    dtype = A.dtype
+    _, P_f = ss_filter(A, Q, H, jnp.zeros((n,), dtype), jitter)
+    P_prev = jnp.concatenate([jnp.zeros((1, d, d), dtype), P_f[:-1]])
+    P_pred = A @ P_prev @ jnp.swapaxes(A, -1, -2) + Q
+    PH = (P_pred @ H[..., None])[..., 0]                   # (n, d)
+    S = jnp.einsum("nd,nd->n", H, PH) + jitter
+    return PH / S[:, None], S
+
+
+def _affine_scan(M, b):
+    """x_k = M_k x_{k-1} + b_k as an associative scan; returns all x_k."""
+
+    def comb(e1, e2):
+        return e2[0] @ e1[0], (e2[0] @ e1[1][..., None])[..., 0] + e2[1]
+
+    _, x = lax.associative_scan(comb, (M, b))
+    return x
+
+
+def ss_whiten_apply(A, H, Kg, S, z):
+    """f = L z through the innovation recurrence (see ss_innovation_coeffs):
+    O(n log n), differentiable in everything."""
+    n, d, _ = A.shape
+    sqrtS = jnp.sqrt(S)
+    xhat = _affine_scan(A, Kg * (sqrtS * z)[:, None])
+    xprev = jnp.concatenate([jnp.zeros((1, d), A.dtype), xhat[:-1]])
+    HA = jnp.einsum("nd,nde->ne", H, A)
+    return jnp.einsum("ne,ne->n", HA, xprev) + sqrtS * z
+
+
+def ss_unwhiten(A, H, Kg, S, f):
+    """z = L⁻¹ f — the inverse innovation recurrence: substituting the
+    measurement into the filter mean update gives
+    x̂_k = (A_k − K_k Hᵀ A_k) x̂_{k-1} + K_k f_k, then
+    z_k = (f_k − HᵀA x̂_{k-1}) / √S_k."""
+    n, d, _ = A.shape
+    HA = jnp.einsum("nd,nde->ne", H, A)
+    M = A - Kg[:, :, None] * HA[:, None, :]
+    xhat = _affine_scan(M, Kg * f[:, None])
+    xprev = jnp.concatenate([jnp.zeros((1, d), A.dtype), xhat[:-1]])
+    return (f - jnp.einsum("ne,ne->n", HA, xprev)) / jnp.sqrt(S)
+
+
 def psd_sqrt(Q: jnp.ndarray) -> jnp.ndarray:
     """Symmetric PSD square root of (..., d, d) matrices via eigh with
     eigenvalue clamping: L = U √max(s, 0), L Lᵀ = Q₊.

@@ -863,3 +863,83 @@ def test_rq_sde_rejects_dynamic_alpha():
     # builds fine
     m = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
     assert np.isfinite(float(m.logdensity(jnp.zeros(m.dim))))
+
+
+def test_whitened_markov_matches_dense_whitened():
+    """build_model(approx='sde', marginalize=False): the innovation-whitened
+    latent model.  The innovation factorization of K + j·I is its UNIQUE
+    lower-triangular factorization in step order, so on rows pre-sorted in
+    the markov order the map f = L z — and hence the whole logdensity, for
+    ANY likelihood — equals the dense ``build_latent_whitened`` pointwise
+    (ref parity: the whitened non-Gaussian NUTS path of src/liklihoods.jl,
+    here with no Cholesky and O(n log n) scans)."""
+    rng = np.random.default_rng(0)
+    n = 50
+    x = np.sort(rng.uniform(0, 10, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(x) + rng.normal(0, 0.5, n))
+    spec = parse_formula("y ~| OU(:x)")
+    ck = compile_formula(spec.formula)
+    mw = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde",
+                     marginalize=False)
+    md = build_model(ck, ["x"], X, y, spec.likelihood, marginalize=False)
+    assert mw.dim == md.dim == n + 1
+    for seed in range(3):
+        v = jax.random.normal(jax.random.key(seed), (mw.dim,)) * 0.8
+        a, b = float(mw.logdensity(v)), float(md.logdensity(v))
+        assert abs(a - b) < 1e-9 * max(1.0, abs(b))
+        ga = np.asarray(jax.grad(mw.logdensity)(v))
+        gb = np.asarray(jax.grad(md.logdensity)(v))
+        np.testing.assert_allclose(ga, gb, rtol=1e-8, atol=1e-10)
+
+    # Bernoulli likelihood: same pointwise equality (general-likelihood path)
+    z = (np.sin(x) > 0).astype(float)
+    specb = parse_formula("z : Bernoulli ~| OU(:x)")
+    ckb = compile_formula(specb.formula)
+    mb = build_model(ckb, ["x"], X, jnp.asarray(z), specb.likelihood,
+                     approx="sde", marginalize=False)
+    mbd = build_model(ckb, ["x"], X, jnp.asarray(z), specb.likelihood,
+                      marginalize=False)
+    for seed in range(2):
+        v = jax.random.normal(jax.random.key(seed), (mb.dim,)) * 0.5
+        assert abs(float(mb.logdensity(v)) - float(mbd.logdensity(v))) < 1e-9
+
+    # grouped formula, rows PRE-SORTED in the markov (group, time) order so
+    # the dense chol order coincides with the innovation order
+    g = rng.integers(0, 3, n).astype(float)
+    t = rng.uniform(0, 10, n)
+    order = np.lexsort((t, g))
+    t, g = t[order], g[order]
+    zz = (np.sin(t) > 0).astype(float)
+    spec2 = parse_formula("z : Bernoulli ~| OU(:t)*Cat(:g) + Noise")
+    ck2 = compile_formula(spec2.formula)
+    X2 = jnp.asarray(np.stack([t, g], 1))
+    m2 = build_model(ck2, ["t"], X2, jnp.asarray(zz), spec2.likelihood,
+                     approx="sde", marginalize=False)
+    m2d = build_model(ck2, ["t"], X2, jnp.asarray(zz), spec2.likelihood,
+                      marginalize=False)
+    v = jax.random.normal(jax.random.key(5), (m2.dim,)) * 0.5
+    assert abs(float(m2.logdensity(v)) - float(m2d.logdensity(v))) < 1e-9
+
+
+def test_whitened_markov_roundtrip_and_report():
+    """position_from inverts report's latent draw (z = L⁻¹f via the inverse
+    innovation recurrence), and the report lp equals the dense whitened
+    report lp at the same position."""
+    rng = np.random.default_rng(1)
+    n = 40
+    x = np.sort(rng.uniform(0, 10, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(x) + rng.normal(0, 0.5, n))
+    spec = parse_formula("y ~| OU(:x) + Noise")
+    ck = compile_formula(spec.formula)
+    mw = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde",
+                     marginalize=False)
+    md = build_model(ck, ["x"], X, y, spec.likelihood, marginalize=False)
+    v = jax.random.normal(jax.random.key(9), (mw.dim,)) * 0.5
+    theta, f, lp = mw.report(jax.random.key(1), v)
+    v2 = mw.position_from(theta, f)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-10)
+    _, fd, lpd = md.report(jax.random.key(1), v)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(fd), atol=1e-9)
+    assert abs(float(lp) - float(lpd)) < 1e-8
