@@ -38,7 +38,7 @@ CHAINS, WARMUP, SAMPLES = 8, 100, 100
 #: GAPLAC_SDE_STAGES=1048576 (comma-separated) to retry one stage alone.
 STAGES = tuple(
     int(s) for s in os.environ.get(
-        "GAPLAC_SDE_STAGES", f"{1 << 14},{1 << 17},{1 << 20}").split(",")
+        "GAPLAC_SDE_STAGES", f"{1 << 14},{1 << 17},{1 << 19}").split(",")
 )
 
 
