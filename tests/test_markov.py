@@ -943,3 +943,40 @@ def test_whitened_markov_roundtrip_and_report():
     _, fd, lpd = md.report(jax.random.key(1), v)
     np.testing.assert_allclose(np.asarray(f), np.asarray(fd), atol=1e-9)
     assert abs(float(lp) - float(lpd)) < 1e-8
+
+
+def test_cli_whitened_sde_mcmc(tmp_path):
+    """--no-marginalize --approx sde through the CLI: the innovation
+    -whitened joint model samples [θ, z] with the reference chain schema
+    (ℓ, fx[i], lp) and finite lp — for a non-Gaussian likelihood too."""
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(5)
+    n = 30
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + rng.normal(0, 0.5, n)
+    z = (y > 0).astype(float)
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": y, "z": z}).to_csv(data, sep="\t", index=False)
+
+    chain = tmp_path / "chain.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "y ~| OU(:x)", "--data", str(data),
+        "--infer", "x", "--samples", "15", "--warmup", "30",
+        "--no-marginalize", "--approx", "sde", "--seed", "2",
+        "--output", str(chain),
+    ])
+    assert rc == 0
+    cdf = pd.read_csv(chain, sep="\t")
+    assert "ℓ" in cdf.columns and "lp" in cdf.columns and "fx[1]" in cdf.columns
+    assert np.isfinite(cdf["lp"]).all()
+
+    chain2 = tmp_path / "chain2.tsv"
+    rc = main([
+        "--platform", "cpu", "mcmc", "z : Bernoulli ~| OU(:x)", "--data",
+        str(data), "--infer", "x", "--samples", "15", "--warmup", "30",
+        "--no-marginalize", "--approx", "sde", "--seed", "3",
+        "--output", str(chain2),
+    ])
+    assert rc == 0
+    assert np.isfinite(pd.read_csv(chain2, sep="\t")["lp"]).all()
