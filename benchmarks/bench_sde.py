@@ -65,9 +65,16 @@ def main():
         float(jnp.sum(yj))
         say(f"n={n_obs}: data uploaded")
 
-        spec = parse_formula("y ~| OU(:x)")
+        # GAPLAC_SDE_FORMULA switches the model, e.g. the quasi-periodic
+        # matrix-state "y ~| Periodic(:x; p=3.0) * Matern32(:x)" (d=42
+        # Kronecker block) vs the default scalar OU (d=1)
+        formula = os.environ.get("GAPLAC_SDE_FORMULA", "y ~| OU(:x)")
+        spec = parse_formula(formula)
+        ck = compile_formula(spec.formula)
+        if ck.n_leaves > 1:  # one design column per leaf (shared variable)
+            X = jnp.broadcast_to(X, (n_obs, ck.n_leaves))
         model = build_model(
-            compile_formula(spec.formula), ["x"], X, yj, spec.likelihood,
+            ck, ["x"], X, yj, spec.likelihood,
             approx="sde",
         )
 
