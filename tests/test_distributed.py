@@ -208,3 +208,35 @@ def test_chain_sharded_sde_model(mesh):
                             max_leapfrogs=32)
     )(jax.random.key(1))
     assert np.isfinite(np.asarray(res.positions)).all()
+
+
+def test_chain_sharded_whitened_sde_model(mesh):
+    """The innovation-whitened joint model (--approx sde --no-marginalize,
+    dim nh+n) under a sharded chain axis: the chol-free whitening scans are
+    chain-local, so sharded logdensity equals unsharded exactly and a
+    data-as-arguments ChEES step runs sharded (the >8-chain crash-free
+    route on the axon worker — no cholesky custom call anywhere)."""
+    from gaplac_tpu.inference.chees import run_chees
+    from gaplac_tpu.inference.model import build_model
+
+    rng = np.random.default_rng(45)
+    n = 48
+    x = np.sort(rng.uniform(0, 10, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(x) + rng.normal(0, 0.5, n))
+    spec = parse_formula("y ~| SqExp(:x)")
+    ck = compile_formula(spec.formula)
+    m = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde",
+                    marginalize=False)
+
+    us = jax.vmap(m.initial_position)(jax.random.split(jax.random.key(0), 8))
+    us_s = shard_chain_axis(us, mesh=chain_mesh(8))
+    lds = jax.jit(jax.vmap(m.logdensity))
+    np.testing.assert_allclose(np.asarray(lds(us_s)), np.asarray(lds(us)),
+                               rtol=1e-12)
+
+    res = jax.jit(
+        lambda k, d: run_chees(k, lambda u: m.logdensity_data(u, d), us_s, 3,
+                               num_warmup=3, max_leapfrogs=32)
+    )(jax.random.key(1), m.data)
+    assert np.isfinite(np.asarray(res.positions)).all()
