@@ -54,6 +54,37 @@ class _MElems(NamedTuple):
     J: jnp.ndarray    # (n, d, d)
 
 
+#: max state dim routed through the pure-HLO unrolled solve (above this,
+#: fall back to jnp.linalg.solve's batched LU custom call)
+_SOLVE_SMALL_MAX_D = 64
+
+
+def solve_small(D: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched D⁻¹B for small d via UNPIVOTED Gaussian elimination, fully
+    unrolled — pure HLO (elementwise + broadcasts), no LAPACK custom call.
+
+    Replaces ``jnp.linalg.solve`` in the filter/smoother combines:
+    (1) the axon TPU worker kernel-faults on batched LU custom calls in
+    exactly these programs (the whitened-sde ChEES probe crashed the worker
+    with NO cholesky anywhere — batched LU was the remaining custom call);
+    (2) at d ≤ ~21 an unrolled elimination fuses into the surrounding
+    elementwise work instead of paying per-op dispatch for the LU pair.
+    No pivoting is safe here: every solved system is I + (PSD)(PSD) or a
+    predicted covariance + noise — eigenvalues bounded away from 0 with
+    real part ≥ 1 (combine docstring), so leading minors stay well
+    -conditioned.  Falls back to jnp.linalg.solve above d=64."""
+    d = D.shape[-1]
+    if d > _SOLVE_SMALL_MAX_D:
+        return jnp.linalg.solve(D, B)
+    M = jnp.concatenate([D, B], axis=-1)            # (..., d, d+k) augmented
+    for i in range(d):
+        piv = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
+        M = M - M[..., :, i:i + 1] * piv
+        # restore the pivot row (eliminated itself to 0 above)
+        M = jnp.concatenate([M[..., :i, :], piv, M[..., i + 1:, :]], axis=-2)
+    return M[..., :, d:]
+
+
 def _mcombine(e1: _MElems, e2: _MElems) -> _MElems:
     d = e1.A.shape[-1]
     I = jnp.eye(d, dtype=e1.A.dtype)
@@ -65,13 +96,13 @@ def _mcombine(e1: _MElems, e2: _MElems) -> _MElems:
     # combine instead of 5, which matters both for FLOPs at the Periodic
     # block's d=21 and for op count on the dispatch-bound TPU backend.
     bC = (e1.b + (e1.C @ e2.eta[..., None])[..., 0])[..., None]
-    X = jnp.linalg.solve(D, jnp.concatenate([e1.A, bC, e1.C], axis=-1))
+    X = solve_small(D, jnp.concatenate([e1.A, bC, e1.C], axis=-1))
     XA, Xb, XC = X[..., :d], X[..., d], X[..., d + 1:]
     A = e2.A @ XA
     b = (e2.A @ Xb[..., None])[..., 0] + e2.b
     C = e2.A @ XC @ jnp.swapaxes(e2.A, -1, -2) + e2.C
     rhs = (e2.eta - (e2.J @ e1.b[..., None])[..., 0])[..., None]
-    Y = jnp.linalg.solve(Dt, jnp.concatenate([rhs, e2.J], axis=-1))
+    Y = solve_small(Dt, jnp.concatenate([rhs, e2.J], axis=-1))
     A1t = jnp.swapaxes(e1.A, -1, -2)
     eta = (A1t @ Y[..., :1])[..., 0] + e1.eta
     J = A1t @ Y[..., 1:] @ e1.A + e1.J
@@ -552,9 +583,11 @@ def ss_smooth(A, Q, H, y, R, obs=None):
     m_f, P_f = ss_filter(A, Q, H, y, R, obs=obs)
     A1 = A[1:]                                             # transition k -> k+1
     Pp = A1 @ P_f[:-1] @ jnp.swapaxes(A1, -1, -2) + Q[1:]  # predicted cov at k+1
-    # E = P_f A1ᵀ Pp⁻¹  (solve on the transposed system)
+    # E = P_f A1ᵀ Pp⁻¹  (solve on the transposed system; Pp is PD — the
+    # filter preserves positive-definiteness from the PD stationary prior —
+    # so the unpivoted pure-HLO solve is safe)
     E = jnp.swapaxes(
-        jnp.linalg.solve(Pp, A1 @ P_f[:-1]), -1, -2
+        solve_small(Pp, A1 @ P_f[:-1]), -1, -2
     )
     g = m_f[:-1] - (E @ (A1 @ m_f[:-1][..., None]))[..., 0]
     L = P_f[:-1] - E @ Pp @ jnp.swapaxes(E, -1, -2)
