@@ -109,6 +109,37 @@ def _mcombine(e1: _MElems, e2: _MElems) -> _MElems:
     return _MElems(A, b, C, eta, J)
 
 
+class _CElems(NamedTuple):
+    """Covariance-only filter element (the _MElems mean parts dropped)."""
+
+    A: jnp.ndarray    # (n, d, d)
+    C: jnp.ndarray    # (n, d, d)
+    J: jnp.ndarray    # (n, d, d)
+
+
+def _ccombine(e1: _CElems, e2: _CElems) -> _CElems:
+    # _mcombine restricted to the covariance recursion: with y ≡ 0 the mean
+    # parts (b, η) are identically zero through EVERY combine (b' = solve
+    # terms of zeros, η' likewise), so they can be dropped rather than
+    # computed-and-discarded.  The fused [A|b|C] augmented solve in
+    # _mcombine couples the dead mean column into the elimination, which
+    # defeats XLA's dead-code elimination — this variant is the DCE done by
+    # hand for the covariance-only consumers (ss_innovation_coeffs: the
+    # whitened-sde leapfrog hot path, where the scan is op-count-bound).
+    d = e1.A.shape[-1]
+    I = jnp.eye(d, dtype=e1.A.dtype)
+    D = I + e1.C @ e2.J
+    Dt = I + e2.J @ e1.C
+    X = solve_small(D, jnp.concatenate([e1.A, e1.C], axis=-1))
+    XA, XC = X[..., :d], X[..., d:]
+    A = e2.A @ XA
+    C = e2.A @ XC @ jnp.swapaxes(e2.A, -1, -2) + e2.C
+    Y = solve_small(Dt, e2.J)
+    A1t = jnp.swapaxes(e1.A, -1, -2)
+    J = A1t @ Y @ e1.A + e1.J
+    return _CElems(A, C, J)
+
+
 # ---------------------------------------------------------------------------
 # Leaf state blocks
 # ---------------------------------------------------------------------------
@@ -526,6 +557,32 @@ def ss_filter(A, Q, H, y, R, obs=None):
     return pre.b, pre.C
 
 
+def ss_filter_cov(A, Q, H, R, obs=None):
+    """Filtered covariances P_f only — ``ss_filter`` for y ≡ 0 with the
+    identically-zero mean recursion elided (see _ccombine).  The filtered
+    covariances never depend on the observations, so this serves any
+    caller that needs P_f alone (ss_innovation_coeffs, i.e. every
+    whitened-sde leapfrog) at ~2/3 of the full filter's op count."""
+    n, d, _ = A.shape
+    dtype = A.dtype
+    Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
+    QH = (Q @ H[..., None])[..., 0]
+    S = jnp.einsum("nd,nd->n", H, QH) + Rv
+    K = QH / S[:, None]
+    w = (jnp.ones((n,), dtype) if obs is None
+         else jnp.asarray(obs, dtype))
+    K = K * w[:, None]
+    I = jnp.eye(d, dtype=dtype)
+    ImKH = I - K[:, :, None] * H[:, None, :]
+    HA = jnp.einsum("nd,nde->ne", H, A)
+    elems = _CElems(
+        A=ImKH @ A,
+        C=ImKH @ Q,
+        J=HA[:, :, None] * HA[:, None, :] * (w / S)[:, None, None],
+    )
+    return lax.associative_scan(_ccombine, elems).C
+
+
 def ss_loglik_parts(A, Q, H, y, R):
     """Prediction-error decomposition pieces of N(y; 0, K + diag(R)):
     (quad, logdet) with quad = yᵀ(K+diag(R))⁻¹y = Σ rᵢ²/Sᵢ and
@@ -622,7 +679,7 @@ def ss_innovation_coeffs(A, Q, H, jitter):
     Returns (gains K (n,d), innovation variances S (n,))."""
     n, d, _ = A.shape
     dtype = A.dtype
-    _, P_f = ss_filter(A, Q, H, jnp.zeros((n,), dtype), jitter)
+    P_f = ss_filter_cov(A, Q, H, jitter)
     P_prev = jnp.concatenate([jnp.zeros((1, d, d), dtype), P_f[:-1]])
     P_pred = A @ P_prev @ jnp.swapaxes(A, -1, -2) + Q
     PH = (P_pred @ H[..., None])[..., 0]                   # (n, d)

@@ -980,3 +980,28 @@ def test_cli_whitened_sde_mcmc(tmp_path):
     ])
     assert rc == 0
     assert np.isfinite(pd.read_csv(chain2, sep="\t")["lp"]).all()
+
+
+def test_ss_filter_cov_matches_full_filter():
+    """ss_filter_cov (covariance-only combine, the whitened-sde hot path)
+    must equal the full filter's P_f: with y ≡ 0 the mean recursion it
+    drops is identically zero."""
+    from gaplac_tpu.ops import markov_ss as ss
+
+    rng = np.random.default_rng(11)
+    n = 47
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    kinds = [ss.BLOCK_M32, ss.BLOCK_SQEXP]
+    A, Q, H = ss.build_steps(kinds, [0.8, 1.7], t, [None, None])
+    _, P_full = ss.ss_filter(A, Q, H, jnp.zeros((n,), t.dtype), 0.3)
+    P_cov = ss.ss_filter_cov(A, Q, H, 0.3)
+    np.testing.assert_allclose(np.asarray(P_cov), np.asarray(P_full),
+                               rtol=1e-9, atol=1e-11)
+
+    # masked-observation variant (every third point unobserved)
+    obs = jnp.asarray(rng.uniform(size=n) > 0.3)
+    _, P_full_m = ss.ss_filter(A, Q, H, jnp.zeros((n,), t.dtype), 0.3,
+                               obs=obs)
+    P_cov_m = ss.ss_filter_cov(A, Q, H, 0.3, obs=obs)
+    np.testing.assert_allclose(np.asarray(P_cov_m), np.asarray(P_full_m),
+                               rtol=1e-9, atol=1e-11)
