@@ -66,9 +66,41 @@ def main():
         int(c) for c in os.environ.get("GAPLAC_WSDE_CHAINS",
                                        "8,16,32,64").split(",")
     )
+    vg_only = os.environ.get("GAPLAC_WSDE_VG_ONLY", "") == "1"
     for chains in chains_list:
         q0 = jax.vmap(model.initial_position)(
             jax.random.split(jax.random.key(5), chains))
+
+        # stage A: raw vmapped value+grad (the leapfrog hot op), 20 chained
+        # in-graph — cheap to compile, so it charts cost-vs-chains even in
+        # short tunnel windows; the full ChEES stage below is the headline
+        ITERS = 20
+
+        @jax.jit
+        def vg(qs, d):
+            def body(c, _):
+                g = jax.vmap(
+                    jax.grad(lambda q: model.logdensity_data(q, d))
+                )(qs + 1e-6 * c)
+                return 1e-9 * jnp.sum(g), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), q0.dtype), None,
+                                length=ITERS)
+            return c
+
+        float(vg(q0, model.data))
+        say(f"DONE {chains}-chain value+grad compile")
+        t0 = time.time()
+        float(vg(q0, model.data))
+        dt_vg = (time.time() - t0) / ITERS
+        print(json.dumps({
+            "metric": f"whitened-sde value+grad n={N_OBS} chains={chains}",
+            "value": round(chains / dt_vg, 1),
+            "unit": "evals/s",
+            "seconds_per_batch_eval": round(dt_vg, 5),
+        }), flush=True)
+        if vg_only:
+            continue
+
         run = jax.jit(
             lambda k, d, q0=q0: run_chees(
                 k, lambda u: model.logdensity_data(u, d), q0, SAMPLES,

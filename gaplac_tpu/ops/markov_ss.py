@@ -54,14 +54,36 @@ class _MElems(NamedTuple):
     J: jnp.ndarray    # (n, d, d)
 
 
-#: max state dim routed through the pure-HLO unrolled solve (above this,
-#: fall back to jnp.linalg.solve's batched LU custom call)
-_SOLVE_SMALL_MAX_D = 64
+#: max state dim whose elimination is fully UNROLLED into the caller's HLO.
+#: The combine functions below are themselves inlined at every level of an
+#: unrolled ``lax.associative_scan``, so an unrolled d-step elimination
+#: multiplies into O(d · log n) HLO ops — fine to d≈21 (the Periodic
+#: block), but at the RQ block's d=48 the program reaches hour-scale XLA
+#: compile times.  Above the threshold the SAME elimination runs as a
+#: ``lax.scan`` over pivot indices: one traced body, compile cost O(1) in d.
+_SOLVE_UNROLL_MAX_D = 24
+
+
+def _solve_scan(M: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Gauss-Jordan sweep over the (..., d, d+k) augmented matrix as a
+    lax.scan over pivot indices (reverse-mode differentiable)."""
+
+    def step(M, i):
+        row = lax.dynamic_slice_in_dim(M, i, 1, axis=-2)        # (...,1,w)
+        piv = lax.dynamic_slice_in_dim(row, i, 1, axis=-1)      # (...,1,1)
+        row = row / piv
+        col = lax.dynamic_slice_in_dim(M, i, 1, axis=-1)        # (...,d,1)
+        M = M - col * row
+        # restore the pivot row (eliminated itself to 0 above)
+        return lax.dynamic_update_slice_in_dim(M, row, i, axis=-2), None
+
+    M, _ = lax.scan(step, M, jnp.arange(d))
+    return M
 
 
 def solve_small(D: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    """Batched D⁻¹B for small d via UNPIVOTED Gaussian elimination, fully
-    unrolled — pure HLO (elementwise + broadcasts), no LAPACK custom call.
+    """Batched D⁻¹B via UNPIVOTED Gauss-Jordan elimination — pure HLO
+    (elementwise + broadcasts), never a LAPACK/custom-call solve.
 
     Replaces ``jnp.linalg.solve`` in the filter/smoother combines:
     (1) the axon TPU worker kernel-faults on batched LU custom calls in
@@ -72,11 +94,14 @@ def solve_small(D: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     No pivoting is safe here: every solved system is I + (PSD)(PSD) or a
     predicted covariance + noise — eigenvalues bounded away from 0 with
     real part ≥ 1 (combine docstring), so leading minors stay well
-    -conditioned.  Falls back to jnp.linalg.solve above d=64."""
+    -conditioned.  d ≤ 24 unrolls into the caller (fusion + zero loop
+    overhead); larger d runs the identical sweep as a lax.scan (see
+    _SOLVE_UNROLL_MAX_D — compile-time-safe for the RQ block's d=48 and
+    any Kronecker product dimension, with no custom call at ANY size)."""
     d = D.shape[-1]
-    if d > _SOLVE_SMALL_MAX_D:
-        return jnp.linalg.solve(D, B)
     M = jnp.concatenate([D, B], axis=-1)            # (..., d, d+k) augmented
+    if d > _SOLVE_UNROLL_MAX_D:
+        return _solve_scan(M, d)[..., :, d:]
     for i in range(d):
         piv = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
         M = M - M[..., :, i:i + 1] * piv
