@@ -110,14 +110,30 @@ def main():
             "seconds_per_batch_eval": round(dt_vg, 5),
         }), flush=True)
 
-        run = jax.jit(
-            lambda k, d: run_chees(
-                k, lambda u: model.logdensity_data(u, d), q0, SAMPLES,
-                num_warmup=WARMUP)
-        )
+        # GAPLAC_SDE_SAMPLER=hmc swaps in the fixed-trajectory static-scan
+        # sampler (run_hmc): NO while_loop in the compiled program — the
+        # axon worker kernel-faults on ChEES/while-loop programs wrapping
+        # large scan bodies (2/2 crashes at n=2^19, CLAUDE.md round-4)
+        sampler_name = os.environ.get("GAPLAC_SDE_SAMPLER", "chees")
+        if sampler_name == "hmc":
+            from gaplac_tpu.inference.chees import run_hmc
+            LEAPS = int(os.environ.get("GAPLAC_SDE_LEAPFROGS", 16))
+            run = jax.jit(
+                lambda k, d: run_hmc(
+                    k, lambda u: model.logdensity_data(u, d), q0, SAMPLES,
+                    num_warmup=WARMUP, num_leapfrogs=LEAPS)
+            )
+            label = f"HMC({LEAPS} leapfrogs)"
+        else:
+            run = jax.jit(
+                lambda k, d: run_chees(
+                    k, lambda u: model.logdensity_data(u, d), q0, SAMPLES,
+                    num_warmup=WARMUP)
+            )
+            label = "ChEES-HMC"
         r = run(jax.random.key(6), model.data)
         float(jnp.sum(r.positions))  # compile + host sync
-        say(f"n={n_obs}: ChEES compiled")
+        say(f"n={n_obs}: {label} compiled")
         t0 = time.time()
         r = run(jax.random.key(7), model.data)
         float(jnp.sum(r.positions))
@@ -126,11 +142,12 @@ def main():
         say(
             f"n={n_obs} chains={CHAINS} "
             f"accept={float(np.asarray(r.accept_prob).mean()):.2f} "
-            f"T={float(r.traj_length):.2f} eps={float(r.step_size):.4f}"
+            f"T={float(getattr(r, 'traj_length', 0.0)):.2f} "
+            f"eps={float(r.step_size):.4f}"
         )
         print(json.dumps({
             "metric": f"EXACT GP sampling, n={n_obs} obs "
-                      f"(OU state-space marginal, ChEES-HMC {CHAINS} chains)",
+                      f"(OU state-space marginal, {label} {CHAINS} chains)",
             "value": round(rate, 2),
             "unit": "samples/s/chip",
             "seconds_per_transition": round(

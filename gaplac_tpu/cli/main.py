@@ -96,10 +96,17 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--max-depth", type=int, default=10)
     pm.add_argument("--no-marginalize", action="store_true",
                     help="Sample latents jointly (reference formulation) even for Gaussian likelihoods")
-    pm.add_argument("--sampler", choices=["nuts", "chees", "advi"], default="nuts",
+    pm.add_argument("--sampler", choices=["nuts", "chees", "hmc", "advi"],
+                    default="nuts",
                     help="nuts (default), chees (cross-chain adaptive HMC — the "
-                    "TPU-native high-throughput path; wants --chains >= 8), or "
+                    "TPU-native high-throughput path; wants --chains >= 8), "
+                    "hmc (fixed-trajectory jittered HMC: pure static-scan "
+                    "control flow — the crash-safe sampler for backends that "
+                    "fault on while_loop programs; see --leapfrogs), or "
                     "advi (variational fast path)")
+    pm.add_argument("--leapfrogs", type=int, default=32,
+                    help="Leapfrog steps per --sampler hmc trajectory "
+                    "(static; default 32)")
     pm.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
                     help="shared (reference parity: ONE scalar for all --infer vars) "
                     "or pervar (one hyperparameter per distinct variable)")

@@ -141,7 +141,7 @@ def run(args) -> None:
     k_init, k_run, k_report = jax.random.split(key, 3)
 
     sampler = getattr(args, "sampler", "nuts")
-    if sampler in ("advi", "chees") and (args.resume or args.checkpoint):
+    if sampler in ("advi", "chees", "hmc") and (args.resume or args.checkpoint):
         # these paths return before the NUTS resume/checkpoint handling below
         log.warning(
             "--resume/--checkpoint are only supported with --sampler nuts; "
@@ -150,9 +150,9 @@ def run(args) -> None:
     if sampler == "advi":
         _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report)
         return
-    if sampler == "chees":
+    if sampler in ("chees", "hmc"):
         _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
-                        k_init, k_run, k_report)
+                        k_init, k_run, k_report, kind=sampler)
         return
     init_keys = jax.random.split(k_init, n_chains)
     run_keys = jax.random.split(k_run, n_chains)
@@ -331,15 +331,17 @@ def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None,
 
 
 def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
-                    k_init, k_run, k_report):
-    """ChEES-HMC path (--sampler chees): all chains lockstep, cross-chain
-    step-size/trajectory adaptation (inference/chees.py)."""
+                    k_init, k_run, k_report, kind="chees"):
+    """Lockstep batched-chain HMC paths: --sampler chees (cross-chain
+    step-size/trajectory adaptation, inference/chees.py::run_chees) and
+    --sampler hmc (fixed --leapfrogs trajectories, pure static-scan control
+    flow — run_hmc)."""
     import time as _time
 
-    from gaplac_tpu.inference.chees import run_chees
+    from gaplac_tpu.inference.chees import run_chees, run_hmc
     from gaplac_tpu.utils import profiling
 
-    if n_chains < 4:
+    if kind == "chees" and n_chains < 4:
         log.warning(
             "ChEES adapts its trajectory length from cross-chain statistics; "
             "--chains %d is small, using 8", n_chains,
@@ -348,28 +350,38 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
 
     q0 = jax.vmap(model.initial_position)(jax.random.split(k_init, n_chains))
     t0 = _time.time()
-    with profiling.phase("mcmc.chees+compile"):
+    with profiling.phase(f"mcmc.{kind}+compile"):
         # data (when the model exposes it) enters the program as jit
         # PARAMETERS, not closure literals — at large n the literal form's
         # multi-MB HLO hangs the remote TPU compile (GPModel.logdensity_data)
-        res = jax.jit(
-            lambda k, d: run_chees(
-                k,
-                model.logdensity if d is None
-                else (lambda u: model.logdensity_data(u, d)),
-                q0, num_samples, num_warmup=num_warmup,
+        def _run(k, d):
+            ld = (model.logdensity if d is None
+                  else (lambda u: model.logdensity_data(u, d)))
+            if kind == "hmc":
+                return run_hmc(
+                    k, ld, q0, num_samples, num_warmup=num_warmup,
+                    num_leapfrogs=getattr(args, "leapfrogs", 32),
+                    target_accept=args.target_accept,
+                    progress=getattr(args, "progress", False),
+                )
+            return run_chees(
+                k, ld, q0, num_samples, num_warmup=num_warmup,
                 target_accept=args.target_accept,
                 progress=getattr(args, "progress", False),
             )
-        )(k_run, getattr(model, "data", None))
+
+        res = jax.jit(_run)(k_run, getattr(model, "data", None))
         float(jnp.sum(res.step_size))
     elapsed = _time.time() - t0
     total = n_chains * (num_samples + num_warmup)
     log.info(
-        "chees: %d chains x %d transitions in %.2fs (%.1f transitions/s; "
+        "%s: %d chains x %d transitions in %.2fs (%.1f transitions/s; "
         "eps %.4f, T %.3f, accept %.2f)",
-        n_chains, num_samples + num_warmup, elapsed, total / elapsed,
-        float(res.step_size), float(res.traj_length),
+        kind, n_chains, num_samples + num_warmup, elapsed, total / elapsed,
+        float(res.step_size),
+        float(getattr(res, "traj_length",
+                      float(getattr(args, "leapfrogs", 32))
+                      * float(res.step_size))),
         float(np.asarray(res.accept_prob).mean()),
     )
 

@@ -280,3 +280,147 @@ def run_chees(
         jnp.exp(carry.log_t),
         carry.inv_mass,
     )
+
+
+class HmcResult(NamedTuple):
+    positions: jnp.ndarray     # (chains, num_samples, dim)
+    logps: jnp.ndarray         # (chains, num_samples)
+    accept_prob: jnp.ndarray   # (num_samples,) cross-chain mean
+    step_size: jnp.ndarray
+    inv_mass: jnp.ndarray
+
+
+def run_hmc(
+    key: jax.Array,
+    logdensity: Callable[[jnp.ndarray], jnp.ndarray],
+    initial_positions: jnp.ndarray,   # (chains, dim)
+    num_samples: int,
+    num_warmup: int = 500,
+    num_leapfrogs: int = 32,
+    target_accept: float = 0.651,
+    init_step_size: float = 0.1,
+    progress: bool = False,
+) -> HmcResult:
+    """Batched-chain fixed-trajectory HMC: ``num_leapfrogs`` leapfrog steps
+    per transition as a STATIC ``lax.scan`` — the entire sampler is nested
+    scans with compile-time bounds and zero ``while_loop``s.
+
+    Two roles: (1) the classic jittered-eps HMC baseline (step size by
+    pooled dual averaging, Welford mass, eps jittered per transition by a
+    Halton draw in [0.8, 1.2) to break integrator periodicity — the
+    trajectory-length adaptation of ChEES is the only thing missing); and
+    (2) the crash-safe sampler for the axon TPU worker, whose kernel faults
+    on ChEES/NUTS ``while_loop`` programs wrapping large associative-scan
+    state-space models (CLAUDE.md round-4 notes) — run_hmc expresses the
+    same leapfrog dynamics without any data-dependent control flow.
+    """
+    n_chains, dim = initial_positions.shape
+    dtype = initial_positions.dtype
+    vag = jax.value_and_grad(logdensity)
+    bvag = jax.vmap(vag)
+
+    class Carry(NamedTuple):
+        key: jax.Array
+        q: jnp.ndarray
+        logp: jnp.ndarray
+        grad: jnp.ndarray
+        da: DualAveragingState
+        wf: object
+        inv_mass: jnp.ndarray
+        iter: jnp.ndarray
+
+    def transition(c: Carry, adapt: bool):
+        key, k_mom, k_acc = jax.random.split(c.key, 3)
+        # mild multiplicative jitter decorrelates the fixed trajectory
+        # length from the target's periods (jittered HMC; Neal 2011 §3.2)
+        eps = jnp.exp(c.da.log_eps) * (0.8 + 0.4 * _halton(c.iter))
+
+        p0 = jax.random.normal(k_mom, (n_chains, dim), dtype) \
+            * jax.lax.rsqrt(c.inv_mass)
+        ke0 = 0.5 * jnp.sum(p0 * p0 * c.inv_mass, axis=1)
+
+        def lf(st, _):
+            return leapfrog_step(bvag, st, eps, c.inv_mass), None
+
+        st, _ = jax.lax.scan(
+            lf, LeapfrogState(c.q, p0, c.logp, c.grad), None,
+            length=num_leapfrogs,
+        )
+        ke1 = 0.5 * jnp.sum(st.p * st.p * c.inv_mass, axis=1)
+        log_acc = (st.logp - ke1) - (c.logp - ke0)
+        log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
+        alpha = jnp.minimum(1.0, jnp.exp(log_acc))
+        accept = jnp.log(jax.random.uniform(k_acc, (n_chains,), dtype)) < log_acc
+        q = jnp.where(accept[:, None], st.q, c.q)
+        logp = jnp.where(accept, st.logp, c.logp)
+        grad = jnp.where(accept[:, None], st.grad, c.grad)
+
+        mean_alpha = jnp.mean(alpha)       # cross-chain (psum when sharded)
+        if adapt:
+            da = da_update(c.da, mean_alpha, target=target_accept)
+            wf = _welford_update_batch(c.wf, q)
+            new = Carry(key, q, logp, grad, da, wf, c.inv_mass, c.iter + 1)
+        else:
+            new = Carry(key, q, logp, grad, c.da, c.wf, c.inv_mass,
+                        c.iter + 1)
+        return new, (q, logp, mean_alpha)
+
+    from gaplac_tpu.inference.progress import progress_emitter
+
+    warm_progress = progress_emitter("warmup", num_warmup, progress)
+    samp_progress = progress_emitter("sampling", num_samples, progress)
+
+    logp0, grad0 = bvag(initial_positions)
+    carry = Carry(
+        key=key,
+        q=initial_positions,
+        logp=logp0,
+        grad=grad0,
+        da=da_init(jnp.asarray(init_step_size, dtype)),
+        wf=welford_init(dim, dtype),
+        inv_mass=jnp.ones((dim,), dtype),
+        iter=jnp.zeros((), jnp.int32),
+    )
+
+    def warm_step(c, i):
+        new, out = transition(c, adapt=True)
+        warm_progress(i)
+        return new, out
+
+    if num_warmup > 0:
+        # same two-phase schedule as run_chees: unit mass while eps finds
+        # its scale, a cross-chain variance snapshot at the midpoint, then
+        # re-adaptation under the new mass while a batched Welford
+        # accumulates the final mass estimate
+        h1 = num_warmup // 2
+        carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1))
+        var = jnp.var(carry.q, axis=0) + 1e-3
+        carry = carry._replace(inv_mass=var, wf=welford_init(dim, dtype),
+                               da=da_init(jnp.exp(carry.da.log_eps_avg)))
+        carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1, num_warmup))
+
+        inv_mass_final = welford_variance(carry.wf)
+        eps_guess = jnp.exp(carry.da.log_eps_avg)
+        ratio = jnp.exp(
+            0.5 * jnp.mean(jnp.log(carry.inv_mass / inv_mass_final)))
+        eps_final = eps_guess * ratio
+        carry = carry._replace(da=da_init(eps_final),
+                               inv_mass=inv_mass_final)
+    else:
+        eps_final = jnp.asarray(init_step_size, dtype)
+
+    def samp_step(c, i):
+        new, out = transition(c, adapt=False)
+        samp_progress(i)
+        return new, out
+
+    carry, (qs, logps, alphas) = jax.lax.scan(
+        samp_step, carry, jnp.arange(num_samples)
+    )
+    return HmcResult(
+        jnp.swapaxes(qs, 0, 1),
+        jnp.swapaxes(logps, 0, 1),
+        alphas,
+        eps_final,
+        carry.inv_mass,
+    )

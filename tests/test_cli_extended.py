@@ -416,3 +416,31 @@ def test_approx_command_matrix_unsupported_cells(tmp_path):
     for argv in bad:
         rc = main(["--platform", "cpu"] + argv)
         assert rc == 2, argv
+
+
+def test_cli_mcmc_hmc_sampler(tmp_path):
+    """--sampler hmc (fixed-trajectory static-scan HMC): marginalized dense
+    path AND the --approx sde marginal (the crash-safe large-n pipeline:
+    no while_loop anywhere in the compiled program)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 40
+    x = np.sort(rng.uniform(0, 10, n))
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": np.sin(x / 1.5) + rng.normal(0, 0.3, n)}).to_csv(
+        data, sep="\t", index=False)
+
+    for extra in ([], ["--approx", "sde"]):
+        out = tmp_path / f"chain{len(extra)}.tsv"
+        rc = main([
+            "--platform", "cpu", "mcmc", "y ~| OU(:x)", "--data", str(data),
+            "--infer", "x", "--samples", "15", "--warmup", "20",
+            "--sampler", "hmc", "--leapfrogs", "8", "--chains", "4",
+            "--seed", "5", "--output", str(out),
+        ] + extra)
+        assert rc == 0, extra
+        cdf = pd.read_csv(out, sep="\t")
+        assert "ℓ" in cdf.columns and "lp" in cdf.columns
+        assert np.isfinite(cdf["lp"]).all()
+        assert len(cdf) == 15 * 4

@@ -170,3 +170,35 @@ def test_interval_lp_finite_at_bounds():
     lp = np.asarray(tr.constrained_logprior(jnp.asarray([0.0, 10.0, 20.0])))
     assert np.isfinite(lp).all()
     assert not np.isfinite(float(tr.constrained_logprior(jnp.asarray(20.0001))))
+
+
+def test_hmc_mvn_calibration():
+    """run_hmc (fixed-trajectory static-scan sampler) recovers a correlated
+    MVN's moments — same oracle as the ChEES calibration test."""
+    from gaplac_tpu.inference.chees import run_hmc
+
+    cov = np.array([[2.0, 0.9, 0.0], [0.9, 1.0, 0.3], [0.0, 0.3, 0.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    ld = lambda q: -0.5 * q @ prec @ q
+    q0 = jax.random.normal(jax.random.key(0), (16, 3)) * 0.1
+    res = jax.jit(
+        lambda k: run_hmc(k, ld, q0, 500, num_warmup=500, num_leapfrogs=16)
+    )(jax.random.key(1))
+    qs = np.asarray(res.positions).reshape(-1, 3)
+    np.testing.assert_allclose(qs.mean(0), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.cov(qs.T), cov, atol=0.3)
+    assert 0.4 < float(res.accept_prob.mean()) < 0.99
+
+
+def test_hmc_zero_warmup_respects_step_size():
+    from gaplac_tpu.inference.chees import run_hmc
+
+    ld = lambda q: -0.5 * jnp.sum(q * q)
+    q0 = jax.random.normal(jax.random.key(0), (4, 3))
+    res = jax.jit(
+        lambda k: run_hmc(k, ld, q0, 10, num_warmup=0, init_step_size=0.05,
+                          num_leapfrogs=4)
+    )(jax.random.key(1))
+    assert np.isclose(float(res.step_size), 0.05)
+    np.testing.assert_allclose(np.asarray(res.inv_mass), 1.0)
+    assert np.isfinite(np.asarray(res.positions)).all()
