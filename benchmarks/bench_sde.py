@@ -111,9 +111,10 @@ def main():
         }), flush=True)
 
         # GAPLAC_SDE_SAMPLER=hmc swaps in the fixed-trajectory static-scan
-        # sampler (run_hmc): NO while_loop in the compiled program — the
-        # axon worker kernel-faults on ChEES/while-loop programs wrapping
-        # large scan bodies (2/2 crashes at n=2^19, CLAUDE.md round-4)
+        # sampler (run_hmc): NO while_loop in the compiled program.  (This
+        # eliminated one axon-fault suspect but n=2^19 sampler programs
+        # fault the worker regardless — 3/3 crashes across ChEES and HMC;
+        # program size is the correlate.  CLAUDE.md round-4 notes.)
         sampler_name = os.environ.get("GAPLAC_SDE_SAMPLER", "chees")
         if sampler_name == "hmc":
             from gaplac_tpu.inference.chees import run_hmc

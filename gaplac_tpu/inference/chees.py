@@ -309,10 +309,12 @@ def run_hmc(
     pooled dual averaging, Welford mass, eps jittered per transition by a
     Halton draw in [0.8, 1.2) to break integrator periodicity — the
     trajectory-length adaptation of ChEES is the only thing missing); and
-    (2) the crash-safe sampler for the axon TPU worker, whose kernel faults
-    on ChEES/NUTS ``while_loop`` programs wrapping large associative-scan
-    state-space models (CLAUDE.md round-4 notes) — run_hmc expresses the
-    same leapfrog dynamics without any data-dependent control flow.
+    (2) the minimal-control-flow sampler for fragile backends: no
+    ``while_loop`` anywhere, so data-dependent loop bounds are eliminated
+    as a fault trigger.  (On the axon TPU worker this removes one suspect
+    but does NOT make n=2^19-scale sampler programs safe — the worker
+    faulted on this sampler's 2^19 compile too, implicating sheer program
+    size; CLAUDE.md round-4 notes.)
     """
     n_chains, dim = initial_positions.shape
     dtype = initial_positions.dtype
