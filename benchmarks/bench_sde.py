@@ -110,6 +110,13 @@ def main():
             "seconds_per_batch_eval": round(dt_vg, 5),
         }), flush=True)
 
+        if os.environ.get("GAPLAC_SDE_VG_ONLY", "") == "1":
+            # value+grad programs run clean at every n/chains tried; the
+            # end-to-end sampler programs fault the axon worker at
+            # n >= 2^18 (4/4 crashes, round 4) — this knob charts the hot
+            # op without risking the worker
+            continue
+
         # GAPLAC_SDE_SAMPLER=hmc swaps in the fixed-trajectory static-scan
         # sampler (run_hmc): NO while_loop in the compiled program.  (This
         # eliminated one axon-fault suspect but n=2^19 sampler programs

@@ -141,11 +141,10 @@ def run(args) -> None:
     k_init, k_run, k_report = jax.random.split(key, 3)
 
     sampler = getattr(args, "sampler", "nuts")
-    if sampler in ("advi", "chees", "hmc") and (args.resume or args.checkpoint):
-        # these paths return before the NUTS resume/checkpoint handling below
+    if sampler == "advi" and (args.resume or args.checkpoint):
         log.warning(
-            "--resume/--checkpoint are only supported with --sampler nuts; "
-            "ignored for %s (starting fresh, no checkpoint written)", sampler,
+            "--resume/--checkpoint are not supported with --sampler advi; "
+            "ignored (starting fresh, no checkpoint written)",
         )
     if sampler == "advi":
         _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report)
@@ -348,7 +347,30 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
         )
         n_chains = max(n_chains, 8)
 
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
     q0 = jax.vmap(model.initial_position)(jax.random.split(k_init, n_chains))
+    eps0, t_len0, im0 = 0.1, 1.0, None
+    if args.resume:
+        if args.resume.endswith((".tsv", ".csv")):
+            # legacy chain extension: warm-start positions from the table's
+            # last draws; short re-adaptation (matches the NUTS path)
+            q0 = _resume_from_chain(args.resume, model, n_chains, dtype)
+            num_warmup = min(num_warmup, 100)
+            log.info("extending chain %s (reduced warmup %d)",
+                     args.resume, num_warmup)
+        else:
+            # checkpoint resume: positions + adapted eps/mass (+ ChEES T),
+            # warmup skipped entirely
+            state = _load_checkpoint(args.resume, n_chains, model.dim)
+            q0 = jnp.asarray(state["positions"], dtype)
+            eps0 = float(np.mean(np.asarray(state["step_size"])))
+            im = np.asarray(state["inv_mass"])
+            im0 = jnp.asarray(im.mean(0) if im.ndim == 2 else im, dtype)
+            t_len0 = float(np.mean(np.asarray(
+                state.get("traj_length", t_len0))))
+            num_warmup = 0
+            log.info("resuming from %s (warmup skipped)", args.resume)
+
     t0 = _time.time()
     with profiling.phase(f"mcmc.{kind}+compile"):
         # data (when the model exposes it) enters the program as jit
@@ -362,11 +384,14 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
                     k, ld, q0, num_samples, num_warmup=num_warmup,
                     num_leapfrogs=getattr(args, "leapfrogs", 32),
                     target_accept=args.target_accept,
+                    init_step_size=eps0, init_inv_mass=im0,
                     progress=getattr(args, "progress", False),
                 )
             return run_chees(
                 k, ld, q0, num_samples, num_warmup=num_warmup,
                 target_accept=args.target_accept,
+                init_step_size=eps0, init_traj_length=t_len0,
+                init_inv_mass=im0,
                 progress=getattr(args, "progress", False),
             )
 
@@ -393,6 +418,9 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
         model, report_keys, positions,
         want_latents=not getattr(args, "no_latents", False),
     )
+    if args.checkpoint:
+        _save_checkpoint(args.checkpoint, positions, res)
+        log.info("checkpoint written to %s", args.checkpoint)
     _emit_chains(args, model, y.shape[0], thetas, fs, lps)
 
 
@@ -446,11 +474,15 @@ def _resume_from_chain(path: str, model, n_chains: int, dtype) -> jnp.ndarray:
 
 
 def _save_checkpoint(path: str, positions, res) -> None:
+    extra = {}
+    if hasattr(res, "traj_length"):      # ChEES adapted trajectory length
+        extra["traj_length"] = np.asarray(res.traj_length)
     np.savez(
         path,
         positions=np.asarray(positions[:, -1]),
         step_size=np.asarray(res.step_size),
         inv_mass=np.asarray(res.inv_mass),
+        **extra,
     )
 
 
@@ -468,8 +500,11 @@ def _load_checkpoint(path: str, n_chains: int, dim: int) -> dict:
             f"Checkpoint shape {pos.shape} does not match --chains {n_chains} "
             f"and model dim {dim}"
         )
-    return {
+    out = {
         "positions": jnp.asarray(pos),
         "step_size": np.mean(z["step_size"]),
         "inv_mass": jnp.asarray(z["inv_mass"]),
     }
+    if "traj_length" in z.files:        # ChEES checkpoints carry T too
+        out["traj_length"] = np.asarray(z["traj_length"])
+    return out

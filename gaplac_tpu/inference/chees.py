@@ -97,6 +97,7 @@ def run_chees(
     init_step_size: float = 0.1,
     init_traj_length: float = 1.0,
     adam_lr: float = 0.025,
+    init_inv_mass=None,
     progress: bool = False,
 ) -> CheesResult:
     """Batched-chain ChEES-HMC.  ``initial_positions`` carries the chain
@@ -220,7 +221,8 @@ def run_chees(
         adam_v=jnp.zeros((), dtype),
         adam_i=jnp.zeros((), dtype),
         wf=welford_init(dim, dtype),
-        inv_mass=jnp.ones((dim,), dtype),
+        inv_mass=(jnp.ones((dim,), dtype) if init_inv_mass is None
+                  else jnp.asarray(init_inv_mass, dtype)),
         iter=jnp.zeros((), jnp.int32),
     )
 
@@ -259,8 +261,9 @@ def run_chees(
         eps_final = eps_guess * ratio
         carry = carry._replace(da=da_init(eps_final), inv_mass=inv_mass_final)
     else:
-        # no warmup: sample with the caller's step size and unit mass (the
-        # DA average would be exp(0)=1 and the Welford mass would be empty)
+        # no warmup: sample with the caller's step size and mass (checkpoint
+        # resume path — the DA average exp(0)=1 and the empty Welford mass
+        # must not be consulted)
         eps_final = jnp.asarray(init_step_size, dtype)
 
     def samp_step(c, i):
@@ -299,6 +302,7 @@ def run_hmc(
     num_leapfrogs: int = 32,
     target_accept: float = 0.651,
     init_step_size: float = 0.1,
+    init_inv_mass=None,
     progress: bool = False,
 ) -> HmcResult:
     """Batched-chain fixed-trajectory HMC: ``num_leapfrogs`` leapfrog steps
@@ -380,7 +384,8 @@ def run_hmc(
         grad=grad0,
         da=da_init(jnp.asarray(init_step_size, dtype)),
         wf=welford_init(dim, dtype),
-        inv_mass=jnp.ones((dim,), dtype),
+        inv_mass=(jnp.ones((dim,), dtype) if init_inv_mass is None
+                  else jnp.asarray(init_inv_mass, dtype)),
         iter=jnp.zeros((), jnp.int32),
     )
 

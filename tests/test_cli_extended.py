@@ -444,3 +444,49 @@ def test_cli_mcmc_hmc_sampler(tmp_path):
         assert "ℓ" in cdf.columns and "lp" in cdf.columns
         assert np.isfinite(cdf["lp"]).all()
         assert len(cdf) == 15 * 4
+
+
+def test_cli_chees_hmc_checkpoint_resume(tmp_path):
+    """--checkpoint/--resume on the lockstep samplers: npz resume restores
+    adapted (eps, mass[, T]) and skips warmup; .tsv resume warm-starts
+    positions (chain extension)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 30
+    x = np.sort(rng.uniform(0, 10, n))
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": np.sin(x) + rng.normal(0, 0.3, n)}).to_csv(
+        data, sep="\t", index=False)
+
+    for samp in ("chees", "hmc"):
+        chain = tmp_path / f"{samp}_chain.tsv"
+        ckpt = tmp_path / f"{samp}_state.npz"
+        base = ["--platform", "cpu", "mcmc", "y ~| OU(:x)", "--data",
+                str(data), "--infer", "x", "--sampler", samp,
+                "--chains", "4" if samp == "hmc" else "8", "--seed", "11"]
+        rc = main(base + ["--samples", "10", "--warmup", "20",
+                          "--checkpoint", str(ckpt),
+                          "--output", str(chain)])
+        assert rc == 0
+        assert ckpt.exists()
+        z = np.load(ckpt)
+        assert "step_size" in z.files and "inv_mass" in z.files
+        if samp == "chees":
+            assert "traj_length" in z.files
+
+        # npz resume: warmup skipped, continues finite
+        out2 = tmp_path / f"{samp}_resumed.tsv"
+        rc = main(base + ["--samples", "8", "--resume", str(ckpt),
+                          "--output", str(out2)])
+        assert rc == 0
+        cdf = pd.read_csv(out2, sep="\t")
+        assert np.isfinite(cdf["lp"]).all()
+        assert len(cdf) == 8 * (4 if samp == "hmc" else 8)
+
+        # table resume: chain extension path
+        out3 = tmp_path / f"{samp}_extended.tsv"
+        rc = main(base + ["--samples", "6", "--warmup", "10",
+                          "--resume", str(chain), "--output", str(out3)])
+        assert rc == 0
+        assert np.isfinite(pd.read_csv(out3, sep="\t")["lp"]).all()
