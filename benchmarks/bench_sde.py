@@ -31,7 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 N_OBS = 1 << 20
-CHAINS, WARMUP, SAMPLES = 8, 100, 100
+#: GAPLAC_SDE_CHAINS trims the vmapped chain batch — the matrix-state
+#: formulas (quasi-periodic d=42) OOM the 16 GB HBM at 8 chains x 16k obs
+#: ((chains, n, d, d) scan elements); 1-2 chains fit
+CHAINS = int(os.environ.get("GAPLAC_SDE_CHAINS", 8))
+WARMUP, SAMPLES = 100, 100
 #: escalate through these sizes with host-synced progress lines, so a hung
 #: tunnel identifies the first sticking stage (the final size is the
 #: headline; smaller ones also chart the O(n log n) scaling).  Override with
