@@ -9,6 +9,14 @@ identifies the first faulting stage; if all stages pass it prints
 bench-protocol throughput per chain count (same model as bench.py).
 
 Run only when ~30-60 min of tunnel downtime is affordable.
+
+ROUND-4 DISPOSITION: superseded by measurement — the frozen-adaptation
+chain-batch curve (SCALING_r04.md) shows the batched dense leapfrog is
+COMPUTE-bound past ~4 chains (per-transition wall grows ~6x from 1 to 8
+chains at n=200), so 16/32/64 chains cannot materially raise samples/s/chip
+even if the worker survived them; the per-op dispatch floor this probe was
+designed to amortize is already amortized at 8 chains.  Kept for a future
+backend where batched cholesky is latency-bound.
 """
 
 import sys
