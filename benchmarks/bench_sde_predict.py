@@ -61,12 +61,11 @@ def main():
         model = build_model(ck, ["x"], X, jnp.asarray(y, dtype),
                             spec.likelihood, approx="sde")
         d = model.data
-        kinds = tuple(d_[0] for d_ in []) if False else None
 
         # the predict pipeline: build steps -> smooth -> H·m_s and pointwise
         # predictive variance (what predict_cmd evaluates per chain draw)
         from gaplac_tpu.inference.model import (
-            _markov_structure, markov_block_xs, markov_param_vals)
+            _markov_structure, markov_param_vals)
 
         st = _markov_structure(ck, np.asarray(X))
         kindsT = tuple(b[0] for b in st.blocks)

@@ -107,6 +107,14 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--leapfrogs", type=int, default=32,
                     help="Leapfrog steps per --sampler hmc trajectory "
                     "(static; default 32)")
+    pm.add_argument("--segments", type=int, default=None, metavar="S",
+                    help="With --sampler hmc: drive sampling from the host "
+                    "in jitted segments of S transitions instead of one "
+                    "monolithic program — the large-n mode (compiled "
+                    "program stays at value+grad scale; a checkpoint is "
+                    "written after every sampling segment). Default: auto "
+                    "(on, S=25, when n >= 2^18 — the measured backend "
+                    "program-size fault boundary); 0 forces monolithic")
     pm.add_argument("--infer-mode", choices=["shared", "pervar"], default="shared",
                     help="shared (reference parity: ONE scalar for all --infer vars) "
                     "or pervar (one hyperparameter per distinct variable)")

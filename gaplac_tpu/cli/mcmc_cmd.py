@@ -278,10 +278,16 @@ def _chain_report(model, report_keys, positions, want_latents=True):
     return np.asarray(thetas), None, np.asarray(lps)
 
 
-def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None, divs=None):
+def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None,
+                 divs=None, step_size=None, traj_length=None):
     """Write the reference-schema chain table and posterior summary.
 
     thetas: (chains, draws, n_hyper), fs: (chains, draws, n), lps: (chains, draws).
+    Sampler-stat columns (all optional): per-draw ``accepts`` (chains, draws);
+    NUTS adds ``depths``/``divs``; the lockstep samplers add the adapted
+    ``step_size`` (and ChEES's ``traj_length``) as scalar-repeat columns so
+    the chain table alone diagnoses a run (ref: Turing chain internals
+    surfaced via _df_output, /root/reference/CLI/src/mcmc.jl:42).
     """
     n_chains, kept = lps.shape
     frames = []
@@ -299,8 +305,14 @@ def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None,
         cols["lp"] = lps[c]
         if accepts is not None:
             cols["acceptance_rate"] = accepts[c]
+        if depths is not None:
             cols["tree_depth"] = depths[c]
+        if divs is not None:
             cols["numerical_error"] = divs[c].astype(int)
+        if step_size is not None:
+            cols["step_size"] = np.full(kept, float(step_size))
+        if traj_length is not None:
+            cols["traj_length"] = np.full(kept, float(traj_length))
         frames.append(pd.DataFrame(cols))
     chain_df = pd.concat(frames, ignore_index=True)
 
@@ -371,6 +383,51 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
             num_warmup = 0
             log.info("resuming from %s (warmup skipped)", args.resume)
 
+    # segmented host-driven sampling (--sampler hmc): jit one short segment,
+    # loop from the host — breaks the n >= 2^18 program-size worker fault
+    # (the monolithic sampler executable reaches 200 MB at n=2^19 while
+    # value+grad-scale programs run clean; inference/segmented.py)
+    segments = getattr(args, "segments", None)
+    if kind == "hmc":
+        if segments is None:
+            segments = 25 if y.shape[0] >= (1 << 18) else 0
+            if segments:
+                log.info(
+                    "n=%d >= 2^18: segmented host-driven sampling on "
+                    "(--segments %d; 0 forces monolithic)",
+                    y.shape[0], segments,
+                )
+    elif segments:
+        log.warning("--segments only applies to --sampler hmc; ignored")
+        segments = 0
+    if kind == "hmc" and segments:
+        from gaplac_tpu.inference.segmented import run_hmc_segmented
+
+        ckpt_cb = None
+        if args.checkpoint:
+            def ckpt_cb(state):
+                np.savez(args.checkpoint, **state)
+
+        t0 = _time.time()
+        with profiling.phase("mcmc.hmc-segmented+compile"):
+            res = run_hmc_segmented(
+                k_run, model.logdensity, q0, num_samples,
+                num_warmup=num_warmup,
+                num_leapfrogs=getattr(args, "leapfrogs", 32),
+                target_accept=args.target_accept,
+                init_step_size=eps0, init_inv_mass=im0,
+                segment_size=segments,
+                data=getattr(model, "data", None),
+                logdensity_data=(getattr(model, "logdensity_data", None)
+                                 if getattr(model, "data", None) is not None
+                                 else None),
+                checkpoint_cb=ckpt_cb,
+                progress=getattr(args, "progress", False),
+            )
+        _report_lockstep(args, model, y, res, kind, n_chains, num_samples,
+                         num_warmup, _time.time() - t0, k_report)
+        return
+
     t0 = _time.time()
     with profiling.phase(f"mcmc.{kind}+compile"):
         # data (when the model exposes it) enters the program as jit
@@ -397,7 +454,15 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
 
         res = jax.jit(_run)(k_run, getattr(model, "data", None))
         float(jnp.sum(res.step_size))
-    elapsed = _time.time() - t0
+    _report_lockstep(args, model, y, res, kind, n_chains, num_samples,
+                     num_warmup, _time.time() - t0, k_report)
+
+
+def _report_lockstep(args, model, y, res, kind, n_chains, num_samples,
+                     num_warmup, elapsed, k_report):
+    """Shared tail of the lockstep (chees/hmc, monolithic or segmented)
+    paths: throughput log, chain report, checkpoint, chain table with
+    per-draw sampler-stat columns."""
     total = n_chains * (num_samples + num_warmup)
     log.info(
         "%s: %d chains x %d transitions in %.2fs (%.1f transitions/s; "
@@ -411,7 +476,7 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
     )
 
     sl = slice(args.burnin, None, args.thin)
-    positions = res.positions[:, sl]
+    positions = jnp.asarray(res.positions)[:, sl]
     kept = positions.shape[1]
     report_keys = jax.random.split(k_report, n_chains * kept).reshape(n_chains, kept)
     thetas, fs, lps = _chain_report(
@@ -421,7 +486,13 @@ def _run_chees_path(args, model, y, num_samples, num_warmup, n_chains,
     if args.checkpoint:
         _save_checkpoint(args.checkpoint, positions, res)
         log.info("checkpoint written to %s", args.checkpoint)
-    _emit_chains(args, model, y.shape[0], thetas, fs, lps)
+    _emit_chains(
+        args, model, y.shape[0], thetas, fs, lps,
+        accepts=np.asarray(res.accept_prob)[:, sl],
+        step_size=float(res.step_size),
+        traj_length=(float(res.traj_length) if hasattr(res, "traj_length")
+                     else None),
+    )
 
 
 def _run_advi_path(args, model, y, num_samples, n_chains, k_init, k_run, k_report):

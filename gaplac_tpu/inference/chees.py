@@ -29,7 +29,7 @@ flow: exactly what the hardware wants.
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +50,7 @@ from gaplac_tpu.inference.hmc import (
 class CheesResult(NamedTuple):
     positions: jnp.ndarray     # (chains, num_samples, dim)
     logps: jnp.ndarray         # (chains, num_samples)
-    accept_prob: jnp.ndarray   # (num_samples,) cross-chain mean
+    accept_prob: jnp.ndarray   # (chains, num_samples) per-chain accept prob
     step_size: jnp.ndarray
     traj_length: jnp.ndarray
     inv_mass: jnp.ndarray
@@ -207,7 +207,7 @@ def run_chees(
         else:
             new = Carry(key, q, logp, grad, c.da, c.log_t, c.adam_m, c.adam_v,
                         c.adam_i, c.wf, c.inv_mass, c.iter + 1)
-        return new, (q, logp, mean_alpha)
+        return new, (q, logp, alpha)
 
     logp0, grad0 = jax.vmap(vag)(initial_positions)
     carry = Carry(
@@ -278,7 +278,7 @@ def run_chees(
     return CheesResult(
         jnp.swapaxes(qs, 0, 1),
         jnp.swapaxes(logps, 0, 1),
-        alphas,
+        jnp.swapaxes(alphas, 0, 1),
         eps_final,
         jnp.exp(carry.log_t),
         carry.inv_mass,
@@ -288,9 +288,120 @@ def run_chees(
 class HmcResult(NamedTuple):
     positions: jnp.ndarray     # (chains, num_samples, dim)
     logps: jnp.ndarray         # (chains, num_samples)
-    accept_prob: jnp.ndarray   # (num_samples,) cross-chain mean
+    accept_prob: jnp.ndarray   # (chains, num_samples) per-chain accept prob
     step_size: jnp.ndarray
     inv_mass: jnp.ndarray
+
+
+class HmcCarry(NamedTuple):
+    """Fixed-trajectory HMC chain state — the complete between-transition
+    state, so any driver (the monolithic scans of ``run_hmc`` or the
+    host-driven segments of inference/segmented.py) that threads it through
+    ``hmc_transition_factory``'s transition reproduces the SAME sampler
+    stream: the PRNG key, DA and Welford accumulators all live here."""
+
+    key: jax.Array
+    q: jnp.ndarray
+    logp: jnp.ndarray
+    grad: jnp.ndarray
+    da: DualAveragingState
+    wf: object
+    inv_mass: jnp.ndarray
+    iter: jnp.ndarray
+
+
+def hmc_transition_factory(
+    logdensity: Callable[[jnp.ndarray], jnp.ndarray],
+    n_chains: int,
+    dim: int,
+    dtype,
+    num_leapfrogs: int,
+    target_accept: float = 0.651,
+):
+    """One fixed-trajectory lockstep HMC transition (static-scan leapfrogs,
+    Halton eps jitter, pooled DA + batched-Welford adaptation) as a pure
+    function of ``HmcCarry`` — shared by ``run_hmc`` and the segmented
+    host-driven driver.  Returns (transition, batched value_and_grad)."""
+    vag = jax.value_and_grad(logdensity)
+    bvag = jax.vmap(vag)
+
+    def transition(c: HmcCarry, adapt: bool):
+        key, k_mom, k_acc = jax.random.split(c.key, 3)
+        # mild multiplicative jitter decorrelates the fixed trajectory
+        # length from the target's periods (jittered HMC; Neal 2011 §3.2)
+        eps = jnp.exp(c.da.log_eps) * (0.8 + 0.4 * _halton(c.iter))
+
+        p0 = jax.random.normal(k_mom, (n_chains, dim), dtype) \
+            * jax.lax.rsqrt(c.inv_mass)
+        ke0 = 0.5 * jnp.sum(p0 * p0 * c.inv_mass, axis=1)
+
+        def lf(st, _):
+            return leapfrog_step(bvag, st, eps, c.inv_mass), None
+
+        st, _ = jax.lax.scan(
+            lf, LeapfrogState(c.q, p0, c.logp, c.grad), None,
+            length=num_leapfrogs,
+        )
+        ke1 = 0.5 * jnp.sum(st.p * st.p * c.inv_mass, axis=1)
+        log_acc = (st.logp - ke1) - (c.logp - ke0)
+        log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
+        alpha = jnp.minimum(1.0, jnp.exp(log_acc))
+        accept = jnp.log(jax.random.uniform(k_acc, (n_chains,), dtype)) < log_acc
+        q = jnp.where(accept[:, None], st.q, c.q)
+        logp = jnp.where(accept, st.logp, c.logp)
+        grad = jnp.where(accept[:, None], st.grad, c.grad)
+
+        mean_alpha = jnp.mean(alpha)       # cross-chain (psum when sharded)
+        if adapt:
+            da = da_update(c.da, mean_alpha, target=target_accept)
+            wf = _welford_update_batch(c.wf, q)
+            new = HmcCarry(key, q, logp, grad, da, wf, c.inv_mass, c.iter + 1)
+        else:
+            new = HmcCarry(key, q, logp, grad, c.da, c.wf, c.inv_mass,
+                           c.iter + 1)
+        return new, (q, logp, alpha)
+
+    return transition, bvag
+
+
+def hmc_init_carry(bvag, key, initial_positions, init_step_size, init_inv_mass,
+                   dim, dtype) -> HmcCarry:
+    """The sampler's initial ``HmcCarry`` (shared by both drivers)."""
+    logp0, grad0 = bvag(initial_positions)
+    return HmcCarry(
+        key=key,
+        q=initial_positions,
+        logp=logp0,
+        grad=grad0,
+        da=da_init(jnp.asarray(init_step_size, dtype)),
+        wf=welford_init(dim, dtype),
+        inv_mass=(jnp.ones((dim,), dtype) if init_inv_mass is None
+                  else jnp.asarray(init_inv_mass, dtype)),
+        iter=jnp.zeros((), jnp.int32),
+    )
+
+
+def hmc_midpoint_update(carry: HmcCarry, dim: int, dtype, h1: int) -> HmcCarry:
+    """Warmup-midpoint mass switch: cross-chain variance snapshot becomes
+    the mass, the Welford accumulator restarts, DA re-inits at the averaged
+    step size (guarded for empty first halves; ADVICE r4)."""
+    var = jnp.var(carry.q, axis=0) + 1e-3
+    da_mid = (da_init(jnp.exp(carry.da.log_eps_avg)) if h1 >= 1
+              else carry.da)
+    return carry._replace(inv_mass=var, wf=welford_init(dim, dtype),
+                          da=da_mid)
+
+
+def hmc_finalize_adaptation(carry: HmcCarry) -> Tuple[HmcCarry, jnp.ndarray]:
+    """Post-warmup: final Welford mass + the eps rescale for the mass change
+    (eps_new = eps_old * sqrt(old/new), geometric mean across dims)."""
+    inv_mass_final = welford_variance(carry.wf)
+    eps_guess = jnp.exp(carry.da.log_eps_avg)
+    ratio = jnp.exp(
+        0.5 * jnp.mean(jnp.log(carry.inv_mass / inv_mass_final)))
+    eps_final = eps_guess * ratio
+    return carry._replace(da=da_init(eps_final),
+                          inv_mass=inv_mass_final), eps_final
 
 
 def run_hmc(
@@ -322,72 +433,17 @@ def run_hmc(
     """
     n_chains, dim = initial_positions.shape
     dtype = initial_positions.dtype
-    vag = jax.value_and_grad(logdensity)
-    bvag = jax.vmap(vag)
-
-    class Carry(NamedTuple):
-        key: jax.Array
-        q: jnp.ndarray
-        logp: jnp.ndarray
-        grad: jnp.ndarray
-        da: DualAveragingState
-        wf: object
-        inv_mass: jnp.ndarray
-        iter: jnp.ndarray
-
-    def transition(c: Carry, adapt: bool):
-        key, k_mom, k_acc = jax.random.split(c.key, 3)
-        # mild multiplicative jitter decorrelates the fixed trajectory
-        # length from the target's periods (jittered HMC; Neal 2011 §3.2)
-        eps = jnp.exp(c.da.log_eps) * (0.8 + 0.4 * _halton(c.iter))
-
-        p0 = jax.random.normal(k_mom, (n_chains, dim), dtype) \
-            * jax.lax.rsqrt(c.inv_mass)
-        ke0 = 0.5 * jnp.sum(p0 * p0 * c.inv_mass, axis=1)
-
-        def lf(st, _):
-            return leapfrog_step(bvag, st, eps, c.inv_mass), None
-
-        st, _ = jax.lax.scan(
-            lf, LeapfrogState(c.q, p0, c.logp, c.grad), None,
-            length=num_leapfrogs,
-        )
-        ke1 = 0.5 * jnp.sum(st.p * st.p * c.inv_mass, axis=1)
-        log_acc = (st.logp - ke1) - (c.logp - ke0)
-        log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
-        alpha = jnp.minimum(1.0, jnp.exp(log_acc))
-        accept = jnp.log(jax.random.uniform(k_acc, (n_chains,), dtype)) < log_acc
-        q = jnp.where(accept[:, None], st.q, c.q)
-        logp = jnp.where(accept, st.logp, c.logp)
-        grad = jnp.where(accept[:, None], st.grad, c.grad)
-
-        mean_alpha = jnp.mean(alpha)       # cross-chain (psum when sharded)
-        if adapt:
-            da = da_update(c.da, mean_alpha, target=target_accept)
-            wf = _welford_update_batch(c.wf, q)
-            new = Carry(key, q, logp, grad, da, wf, c.inv_mass, c.iter + 1)
-        else:
-            new = Carry(key, q, logp, grad, c.da, c.wf, c.inv_mass,
-                        c.iter + 1)
-        return new, (q, logp, mean_alpha)
+    transition, bvag = hmc_transition_factory(
+        logdensity, n_chains, dim, dtype, num_leapfrogs, target_accept
+    )
 
     from gaplac_tpu.inference.progress import progress_emitter
 
     warm_progress = progress_emitter("warmup", num_warmup, progress)
     samp_progress = progress_emitter("sampling", num_samples, progress)
 
-    logp0, grad0 = bvag(initial_positions)
-    carry = Carry(
-        key=key,
-        q=initial_positions,
-        logp=logp0,
-        grad=grad0,
-        da=da_init(jnp.asarray(init_step_size, dtype)),
-        wf=welford_init(dim, dtype),
-        inv_mass=(jnp.ones((dim,), dtype) if init_inv_mass is None
-                  else jnp.asarray(init_inv_mass, dtype)),
-        iter=jnp.zeros((), jnp.int32),
-    )
+    carry = hmc_init_carry(bvag, key, initial_positions, init_step_size,
+                           init_inv_mass, dim, dtype)
 
     def warm_step(c, i):
         new, out = transition(c, adapt=True)
@@ -401,18 +457,9 @@ def run_hmc(
         # accumulates the final mass estimate
         h1 = num_warmup // 2
         carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1))
-        var = jnp.var(carry.q, axis=0) + 1e-3
-        carry = carry._replace(inv_mass=var, wf=welford_init(dim, dtype),
-                               da=da_init(jnp.exp(carry.da.log_eps_avg)))
+        carry = hmc_midpoint_update(carry, dim, dtype, h1)
         carry, _ = jax.lax.scan(warm_step, carry, jnp.arange(h1, num_warmup))
-
-        inv_mass_final = welford_variance(carry.wf)
-        eps_guess = jnp.exp(carry.da.log_eps_avg)
-        ratio = jnp.exp(
-            0.5 * jnp.mean(jnp.log(carry.inv_mass / inv_mass_final)))
-        eps_final = eps_guess * ratio
-        carry = carry._replace(da=da_init(eps_final),
-                               inv_mass=inv_mass_final)
+        carry, eps_final = hmc_finalize_adaptation(carry)
     else:
         eps_final = jnp.asarray(init_step_size, dtype)
 
@@ -427,7 +474,7 @@ def run_hmc(
     return HmcResult(
         jnp.swapaxes(qs, 0, 1),
         jnp.swapaxes(logps, 0, 1),
-        alphas,
+        jnp.swapaxes(alphas, 0, 1),
         eps_final,
         carry.inv_mass,
     )

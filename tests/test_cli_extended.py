@@ -490,3 +490,61 @@ def test_cli_chees_hmc_checkpoint_resume(tmp_path):
                           "--resume", str(chain), "--output", str(out3)])
         assert rc == 0
         assert np.isfinite(pd.read_csv(out3, sep="\t")["lp"]).all()
+
+
+def test_cli_lockstep_stats_columns_and_segments(tmp_path):
+    """chees/hmc chain tables carry per-draw sampler-stat columns
+    (acceptance_rate per chain, adapted step_size, ChEES traj_length), and
+    --segments routes hmc through the segmented host-driven driver with
+    per-segment checkpoints — same schema, finite output."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    n = 25
+    x = np.sort(rng.uniform(0, 10, n))
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": np.sin(x) + rng.normal(0, 0.3, n)}).to_csv(
+        data, sep="\t", index=False)
+
+    # chees: per-chain acceptance + step_size + traj_length columns
+    out = tmp_path / "chees.tsv"
+    rc = main(["--platform", "cpu", "mcmc", "y ~| OU(:x)", "--data",
+               str(data), "--infer", "x", "--sampler", "chees",
+               "--chains", "8", "--samples", "6", "--warmup", "12",
+               "--seed", "3", "--output", str(out)])
+    assert rc == 0
+    cdf = pd.read_csv(out, sep="\t")
+    for col in ("acceptance_rate", "step_size", "traj_length"):
+        assert col in cdf.columns, col
+    assert ((0.0 <= cdf["acceptance_rate"]) & (cdf["acceptance_rate"] <= 1.0)).all()
+    # per-CHAIN stats: chains differ (not the cross-chain mean repeated)
+    by_chain = cdf.groupby("chain")["acceptance_rate"].mean()
+    assert by_chain.nunique() > 1
+    assert cdf["step_size"].nunique() == 1 and (cdf["step_size"] > 0).all()
+
+    # hmc --segments: segmented driver, same schema (no traj_length),
+    # checkpoint written by the per-segment callback
+    out2 = tmp_path / "hmc_seg.tsv"
+    ckpt = tmp_path / "hmc_seg.npz"
+    rc = main(["--platform", "cpu", "mcmc", "y ~| OU(:x)", "--data",
+               str(data), "--infer", "x", "--sampler", "hmc",
+               "--chains", "4", "--samples", "9", "--warmup", "10",
+               "--segments", "4", "--seed", "3",
+               "--checkpoint", str(ckpt), "--output", str(out2)])
+    assert rc == 0
+    sdf = pd.read_csv(out2, sep="\t")
+    assert "acceptance_rate" in sdf.columns and "step_size" in sdf.columns
+    assert "traj_length" not in sdf.columns
+    assert np.isfinite(sdf["lp"]).all()
+    assert len(sdf) == 9 * 4
+    z = np.load(ckpt)
+    assert "step_size" in z.files and "inv_mass" in z.files
+
+    # the npz written per-segment resumes cleanly
+    out3 = tmp_path / "hmc_seg_resumed.tsv"
+    rc = main(["--platform", "cpu", "mcmc", "y ~| OU(:x)", "--data",
+               str(data), "--infer", "x", "--sampler", "hmc",
+               "--chains", "4", "--samples", "5", "--segments", "4",
+               "--seed", "4", "--resume", str(ckpt), "--output", str(out3)])
+    assert rc == 0
+    assert np.isfinite(pd.read_csv(out3, sep="\t")["lp"]).all()

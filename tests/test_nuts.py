@@ -202,3 +202,62 @@ def test_hmc_zero_warmup_respects_step_size():
     assert np.isclose(float(res.step_size), 0.05)
     np.testing.assert_allclose(np.asarray(res.inv_mass), 1.0)
     assert np.isfinite(np.asarray(res.positions)).all()
+
+
+def test_hmc_segmented_matches_monolithic():
+    """The segmented host-driven driver threads the COMPLETE HmcCarry
+    through every jitted segment, so for a fixed seed it reproduces the
+    monolithic run_hmc stream (warmup adaptation included) regardless of
+    segment size — the correctness contract that lets the large-n path
+    claim run_hmc's semantics."""
+    from gaplac_tpu.inference.chees import run_hmc
+    from gaplac_tpu.inference.segmented import run_hmc_segmented
+
+    cov = np.array([[2.0, 0.9], [0.9, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    ld = lambda q: -0.5 * q @ prec @ q
+    q0 = jax.random.normal(jax.random.key(3), (4, 2)) * 0.3
+    kwargs = dict(num_warmup=21, num_leapfrogs=8, init_step_size=0.2)
+    ref = jax.jit(
+        lambda k: run_hmc(k, ld, q0, 30, **kwargs)
+    )(jax.random.key(4))
+    for seg in (5, 13, 64):
+        res = run_hmc_segmented(jax.random.key(4), ld, q0, 30,
+                                segment_size=seg, **kwargs)
+        np.testing.assert_allclose(res.positions, np.asarray(ref.positions),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(res.logps, np.asarray(ref.logps),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(res.accept_prob,
+                                   np.asarray(ref.accept_prob),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(res.step_size, float(ref.step_size),
+                                   rtol=1e-7)
+        np.testing.assert_allclose(res.inv_mass, np.asarray(ref.inv_mass),
+                                   rtol=1e-7)
+
+
+def test_hmc_segmented_data_form_and_checkpoint_cb():
+    """Segmented driver with the data-as-jit-parameter target (the large-n
+    form) + per-segment checkpoint callback."""
+    from gaplac_tpu.inference.segmented import run_hmc_segmented
+
+    prec = jnp.asarray([[1.0, 0.3], [0.3, 2.0]])
+
+    def ld_data(q, d):
+        return -0.5 * q @ d["prec"] @ q
+
+    q0 = jax.random.normal(jax.random.key(5), (3, 2)) * 0.3
+    states = []
+    res = run_hmc_segmented(
+        jax.random.key(6), None, q0, 12, num_warmup=8, num_leapfrogs=4,
+        segment_size=5, data={"prec": prec}, logdensity_data=ld_data,
+        checkpoint_cb=states.append,
+    )
+    assert res.positions.shape == (3, 12, 2)
+    assert np.isfinite(res.positions).all()
+    # ceil(12/5) = 3 sampling segments -> 3 checkpoint states
+    assert len(states) == 3
+    assert states[-1]["positions"].shape == (3, 2)
+    assert np.isfinite(states[-1]["step_size"])
+    assert states[-1]["inv_mass"].shape == (2,)
