@@ -162,6 +162,11 @@ def run(args) -> None:
     X = jnp.asarray(design_matrix(df, ck), dtype)
     n = X.shape[0]
 
+    if getattr(args, "approx", "none") == "auto":
+        from gaplac_tpu.inference.routing import resolve_auto_approx
+
+        resolve_auto_approx(args, ck, np.asarray(X), "fitplot", spec)
+
     params = ck.default_params(dtype)
     if args.mcmc:
         # same chain->slot-group reconstruction as predict/sample --mcmc

@@ -65,8 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-o", "--output", help="Table output - '.csv', '.tsv', or 'stdout'")
     ps.add_argument("--seed", type=int, default=None, help="PRNG seed")
     ps.add_argument("--jitter", type=float, default=0.1, help="Latent GP noise floor")
-    ps.add_argument("--approx", choices=["none", "rff", "sde"], default="none",
-                    help="rff: prior/posterior draws through the low-rank "
+    ps.add_argument("--approx", choices=["none", "rff", "sde", "auto"], default="none",
+                    help="auto: route by the measured cost model (dense at small n, sde for state-space formulas at large n, rff otherwise). rff: prior/posterior draws through the low-rank "
                     "feature path (O(n m) Matheron — the large-n mode). "
                     "sde: exact state-space prior/posterior draws for "
                     "OU/Matern/Constant/Linear (+Cat groups, + Noise) "
@@ -128,9 +128,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "a host callback, which can stall a remote TPU tunnel)")
     pm.add_argument("--check-numerics", action="store_true",
                     help="Enable jax NaN/Inf debugging (jax_debug_nans)")
-    pm.add_argument("--approx", choices=["none", "laplace", "rff", "sde"],
+    pm.add_argument("--approx", choices=["none", "laplace", "rff", "sde", "auto"],
                     default="none",
-                    help="laplace: integrate non-Gaussian latents out with a "
+                    help="auto: route by the measured cost model (dense at small n, sde for state-space formulas at large n, rff/laplace otherwise). laplace: integrate non-Gaussian latents out with a "
                     "Laplace approximation (fast path; legacy laplace_approx). "
                     "rff: low-rank feature-space marginal (random Fourier + "
                     "exact features; O(n m^2) — the large-n path). "
@@ -178,8 +178,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "parameters (Periodic period, RQ alpha) of kernels on these "
                     "variables, where the formula has them")
     pl.add_argument("--particles", type=int, default=512, help="SMC particle count")
-    pl.add_argument("--approx", choices=["none", "rff", "sde"], default="none",
-                    help="rff: evaluate --formulae logpdfs (and the SMC target) "
+    pl.add_argument("--approx", choices=["none", "rff", "sde", "auto"], default="none",
+                    help="auto: route by the measured cost model (dense at small n, sde for state-space formulas at large n, rff otherwise). rff: evaluate --formulae logpdfs (and the SMC target) "
                     "through the low-rank feature path — the large-n mode. "
                     "sde: exact O(n log n) state-space path for OU (+ Noise) "
                     "formulas (both formulas must qualify)")
@@ -209,8 +209,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--plot", help="File to plot to")
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--jitter", type=float, default=0.1)
-    pp.add_argument("--approx", choices=["none", "rff", "sde"], default="none",
-                    help="rff: weight-space predictive equations through the "
+    pp.add_argument("--approx", choices=["none", "rff", "sde", "auto"], default="none",
+                    help="auto: route by the measured cost model (dense at small n, sde for state-space formulas at large n, rff otherwise). rff: weight-space predictive equations through the "
                     "low-rank feature path (O(n m^2) — the large-n mode). "
                     "sde: exact state-space smoother for OU (+ Noise) formulas "
                     "(O((n+nt) log) — the time-series mode)")
@@ -238,8 +238,8 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("-o", "--output", default="fitplots.png", help="Output image file")
     pf.add_argument("--seed", type=int, default=0)
     pf.add_argument("--jitter", type=float, default=0.1)
-    pf.add_argument("--approx", choices=["none", "rff", "sde"], default="none",
-                    help="rff: per-component decomposition through the "
+    pf.add_argument("--approx", choices=["none", "rff", "sde", "auto"], default="none",
+                    help="auto: route by the measured cost model (dense at small n, sde for state-space formulas at large n, rff otherwise). rff: per-component decomposition through the "
                     "low-rank feature path (the large-n mode). "
                     "sde: per-component posteriors by masking the state-space "
                     "measurement row to one block — O(n log n), exact for "

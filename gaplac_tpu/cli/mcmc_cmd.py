@@ -77,6 +77,34 @@ def run(args) -> None:
 
     prior_bounds = parse_prior(args.prior)
     shared = getattr(args, "infer_mode", "shared") == "shared"
+    if getattr(args, "approx", "none") == "auto":
+        from gaplac_tpu.inference.model import slot_groups_for
+        from gaplac_tpu.inference.routing import choose_approx
+
+        try:
+            ds = {s for g in slot_groups_for(
+                ck, inferable, shared=shared, infer_extras=infer_extras)
+                for s in g}
+        except ValueError:
+            ds = ()
+        args.approx = choose_approx(ck, np.asarray(X), "mcmc",
+                                    likelihood=spec.likelihood,
+                                    dynamic_slots=ds)
+    if getattr(args, "approx", "none") == "sde":
+        # stash what the post-sampling accuracy guard needs (the SqExp/RQ
+        # lengthscale envelope check; inference/routing.py)
+        from gaplac_tpu.inference.model import slot_groups_for
+        from gaplac_tpu.inference.routing import sde_structure_info
+
+        try:
+            _groups = slot_groups_for(ck, inferable, shared=shared,
+                                      infer_extras=infer_extras)
+            d_g, _, st_g = sde_structure_info(
+                ck, np.asarray(X), {s for g in _groups for s in g})
+            args._sde_guard = ((ck, np.asarray(X), st_g, _groups)
+                               if d_g is not None else None)
+        except ValueError:
+            args._sde_guard = None
     if getattr(args, "approx", "none") == "laplace":
         from gaplac_tpu.inference.laplace import build_laplace_marginal
         from gaplac_tpu.inference.likelihoods import gaussian_obs_sigma2
@@ -317,6 +345,17 @@ def _emit_chains(args, model, n_obs, thetas, fs, lps, accepts=None, depths=None,
     chain_df = pd.concat(frames, ignore_index=True)
 
     df_output(chain_df, args.output)
+
+    # sde accuracy guard: warn (log + stdout) when posterior SqExp/RQ
+    # lengthscale mass sits in the measured >0.5-nat error band
+    guard_info = getattr(args, "_sde_guard", None)
+    if guard_info is not None:
+        from gaplac_tpu.inference.routing import sde_lengthscale_guard
+
+        gck, gX, gst, ggroups = guard_info
+        msg = sde_lengthscale_guard(gck, gst, gX, thetas, ggroups)
+        if msg:
+            print(f"WARNING: {msg}")
 
     # posterior summary (+ cross-chain diagnostics when chains > 1)
     for g in range(model.n_hyper):

@@ -97,6 +97,11 @@ def run(args) -> None:
     X = jnp.asarray(X_np, dtype)
     Xt = jnp.asarray(Xt_np, dtype)
 
+    if getattr(args, "approx", "none") == "auto":
+        from gaplac_tpu.inference.routing import resolve_auto_approx
+
+        resolve_auto_approx(args, ck, np.vstack([X_np, Xt_np]), "predict", spec)
+
     sigma2 = gaussian_obs_sigma2(spec.likelihood)
     if sigma2 is None:
         log.warning(

@@ -53,6 +53,12 @@ def run(args) -> None:
     params = ck.default_params(dtype)
     jitter = getattr(args, "jitter", mvn.DEFAULT_JITTER)
 
+    if getattr(args, "approx", "none") == "auto" and not getattr(args, "data", None):
+        from gaplac_tpu.cli.common import design_matrix
+        from gaplac_tpu.inference.routing import resolve_auto_approx
+
+        resolve_auto_approx(args, ck, design_matrix(df, ck), "sample", spec)
+
     if getattr(args, "data", None):
         y = _sample_posterior(args, spec, ck, df, params, key, dtype, jitter)
     elif getattr(args, "approx", "none") == "sde":
@@ -97,6 +103,13 @@ def _sample_posterior(args, spec, ck, tdf, params, key, dtype, jitter):
     y = jnp.asarray(response_vector(df, spec), dtype)
     X_np, Xt_np = design_matrices(df, tdf, ck)
     X, Xt = jnp.asarray(X_np, dtype), jnp.asarray(Xt_np, dtype)
+
+    if getattr(args, "approx", "none") == "auto":
+        from gaplac_tpu.inference.routing import resolve_auto_approx
+
+        # route on the joined train+test rows (what the conditional draw
+        # actually smooths over)
+        resolve_auto_approx(args, ck, np.vstack([X_np, Xt_np]), "sample", spec)
 
     dynamic_slots = ()
     if getattr(args, "mcmc", None):

@@ -95,9 +95,17 @@ def run(args) -> None:
             ck = compile_formula(spec.formula)
             y = jnp.asarray(response_vector(df, spec), dtype)
             X = jnp.asarray(design_matrix(df, ck), dtype)
-            if getattr(args, "approx", "none") == "rff":
+            approx = getattr(args, "approx", "none")
+            if approx == "auto":
+                # resolved PER FORMULA (the two compared formulas may
+                # qualify for different paths, e.g. OU vs SqExp*SqExp)
+                from gaplac_tpu.inference.routing import choose_approx
+
+                approx = choose_approx(ck, np.asarray(X), "select",
+                                       likelihood=spec.likelihood)
+            if approx == "rff":
                 return _lowrank_fixed_lp(args, ck, X, y)
-            if getattr(args, "approx", "none") == "sde":
+            if approx == "sde":
                 return _markov_fixed_lp(args, ck, X, y)
             K = ck.gram(ck.default_params(dtype), X)
             return float(mvn.mvn_logpdf(K, y, jitter=args.jitter))
@@ -208,6 +216,11 @@ def _smc_evidence(args, spec, df, dtype) -> float:
                  spec.formula, lp)
         return lp
     approx = getattr(args, "approx", "none")
+    if approx == "auto":
+        from gaplac_tpu.inference.routing import choose_approx
+
+        approx = choose_approx(ck, np.asarray(X), "select",
+                               likelihood=spec.likelihood)
     model = build_model(
         ck, inferable, X, y, spec.likelihood, jitter=args.jitter,
         approx=approx if approx in ("rff", "sde") else "exact",
