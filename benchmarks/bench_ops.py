@@ -21,6 +21,15 @@ import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
+# v5e roofline (BASELINE.md "GFLOP/s vs roofline" row): single-chip peaks.
+# bf16 MXU peak 197 TF/s; HBM bandwidth 819 GB/s.  Multi-pass precisions
+# EXECUTE more MXU FLOPs than the nominal n^3/3: DEFAULT = 1 bf16 pass,
+# HIGH = 3 passes, HIGHEST = 6 passes — peak fractions are reported both
+# nominal (algorithmic FLOPs) and executed (passes x nominal).
+V5E_BF16_PEAK_GFLOPS = 197_000.0
+V5E_HBM_GBPS = 819.0
+_PASSES = {"hi": 3, "highest": 6, "fast": 1, "xla": 1}
+
 
 def _emit(results, r):
     results.append(r)
@@ -71,9 +80,11 @@ def main(only=None):
             ("gram_pallas", lambda x: pallas_gram(ck, p, x)),
         ):
             t = chain_time(op, Xj, remake)
+            gbs = n * n * 4 / t / 1e9
             _emit(results, {
-                "metric": f"{name} n={n}", "value": round(n * n * 4 / t / 1e9, 1),
+                "metric": f"{name} n={n}", "value": round(gbs, 1),
                 "unit": "GB/s(out)", "seconds": round(t, 5),
+                "pct_hbm_peak": round(100 * gbs / V5E_HBM_GBPS, 1),
             })
 
     for n in ((sizes or (2048, 4096, 8192)) if only in (None, "chol") else ()):
@@ -90,9 +101,14 @@ def main(only=None):
                 A, base=256, precision=lax.Precision.DEFAULT)),
         ):
             t = chain_time(op, K, remake_chol)
+            gfs = fl / t / 1e9
+            passes = _PASSES.get(name.rsplit("_", 1)[-1], 1)
             _emit(results, {
-                "metric": f"{name} n={n}", "value": round(fl / t / 1e9, 1),
+                "metric": f"{name} n={n}", "value": round(gfs, 1),
                 "unit": "GFLOP/s", "seconds": round(t, 5),
+                "pct_bf16_peak": round(100 * gfs / V5E_BF16_PEAK_GFLOPS, 2),
+                "pct_bf16_peak_executed": round(
+                    100 * passes * gfs / V5E_BF16_PEAK_GFLOPS, 2),
             })
 
     # ---- fused gram->cholesky vs the two-step production pipeline --------
@@ -126,9 +142,14 @@ def main(only=None):
                 ck, 1.1, 2048, lax.Precision.DEFAULT, p, Xj)),
         ):
             t = chain_time(op, p0, remake_p)
+            gfs = n**3 / 3 / t / 1e9
+            passes = _PASSES.get(name.rsplit("_", 1)[-1], 1)
             _emit(results, {
-                "metric": f"{name} n={n}", "value": round(n**3 / 3 / t / 1e9, 1),
+                "metric": f"{name} n={n}", "value": round(gfs, 1),
                 "unit": "GFLOP/s(chol-equiv)", "seconds": round(t, 5),
+                "pct_bf16_peak": round(100 * gfs / V5E_BF16_PEAK_GFLOPS, 2),
+                "pct_bf16_peak_executed": round(
+                    100 * passes * gfs / V5E_BF16_PEAK_GFLOPS, 2),
             })
 
 

@@ -74,6 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--rff-features", type=int, default=256, metavar="M",
                     help="Features per stationary kernel leaf with --approx rff")
     ps.add_argument("--rff-seed", type=int, default=0)
+    _add_sde_flags(ps)
     _add_outlier_flags(ps)
 
     # -- mcmc (ref: CLI/src/main.jl:48-77) ---------------------------------
@@ -157,6 +158,7 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--jitter", type=float, default=0.1, help="Latent GP noise floor")
     pm.add_argument("--checkpoint", help="Path to write sampler-state checkpoints")
     pm.add_argument("--resume", help="Resume/extend from a checkpoint or previous chain output")
+    _add_sde_flags(pm)
     _add_outlier_flags(pm)
 
     # -- select (ref: CLI/src/main.jl:79-105) ------------------------------
@@ -188,6 +190,7 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--rff-seed", type=int, default=0)
     pl.add_argument("--seed", type=int, default=0)
     pl.add_argument("--jitter", type=float, default=0.1)
+    _add_sde_flags(pl)
 
     # -- predict (registered-but-unimplemented in ref; legacy contract
     #    bin/old_options.jl:62-87, test/pred.jl:6-14) -----------------------
@@ -217,6 +220,16 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--rff-features", type=int, default=256, metavar="M",
                     help="Features per stationary kernel leaf with --approx rff")
     pp.add_argument("--rff-seed", type=int, default=0)
+    pp.add_argument("--sde-window", type=int, default=None, metavar="W",
+                    help="With --approx sde: smooth in overlapping windows "
+                    "of W rows (one traced window body — compile cost "
+                    "independent of n; the high-state-dim large-n mode). "
+                    "Default: auto (2^14 when state dim > 24 and joined "
+                    "n > 2^15); 0 forces monolithic")
+    pp.add_argument("--sde-overlap", type=int, default=None, metavar="V",
+                    help="Context rows on each side of a --sde-window "
+                    "(default W//8; must span a few lengthscales)")
+    _add_sde_flags(pp)
     _add_outlier_flags(pp)
 
     # -- fitplot (registered-but-unimplemented in ref; legacy contract
@@ -247,9 +260,22 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--rff-features", type=int, default=256, metavar="M",
                     help="Features per stationary kernel leaf with --approx rff")
     pf.add_argument("--rff-seed", type=int, default=0)
+    _add_sde_flags(pf)
     _add_outlier_flags(pf)
 
     return p
+
+
+def _add_sde_flags(sub) -> None:
+    """--approx sde tuning knobs (static state-space structure)."""
+    sub.add_argument("--sde-harmonics", type=int, default=None, metavar="J",
+                     help="Periodic block harmonics under --approx sde "
+                     "(state dim 2J+1; default 10). J=5 is accuracy-free "
+                     "for l >= 0.7 and makes quasi-periodic PRODUCT "
+                     "sampling ~7x cheaper (d^3-bound gradients)")
+    sub.add_argument("--sde-rq-nodes", type=int, default=None, metavar="K",
+                     help="RQ block Gamma-mixture nodes under --approx sde "
+                     "(state dim 6K; default 8)")
 
 
 def _add_outlier_flags(sub) -> None:
@@ -283,6 +309,15 @@ def main(argv=None) -> int:
     from gaplac_tpu.parallel.multihost import maybe_initialize
 
     maybe_initialize()
+
+    # sde structure knobs must be set before ANY structure extraction
+    if getattr(args, "sde_harmonics", None) or getattr(args, "sde_rq_nodes", None):
+        from gaplac_tpu.ops import markov_ss
+
+        if getattr(args, "sde_harmonics", None):
+            markov_ss.set_periodic_harmonics(args.sde_harmonics)
+        if getattr(args, "sde_rq_nodes", None):
+            markov_ss.set_rq_nodes(args.sde_rq_nodes)
 
     if args.command == "sample":
         from gaplac_tpu.cli.sample_cmd import run

@@ -177,6 +177,22 @@ def run(args) -> None:
             ck, X, dynamic_slots={s for g in slot_groups for s in g},
         )
         kinds = tuple(b[0] for b in st.blocks)
+        # windowed smoothing: at high state dims the monolithic program is
+        # COMPILE-bound (d=42 at n=2^17 never finished in 35 min on the
+        # remote TPU compile service) — chunk into fixed windows with
+        # overlap context; auto-on for d > 24 at large joined n
+        d_total = sum(mss.block_dim(k) for k in kinds)
+        window = getattr(args, "sde_window", None)
+        n_joined = X.shape[0] + Xt.shape[0]
+        if window is None:
+            window = (1 << 14) if (d_total > 24 and n_joined > (1 << 15)) else 0
+            if window:
+                log.info(
+                    "state dim %d > 24 at joined n=%d: windowed smoothing on "
+                    "(--sde-window %d; 0 forces monolithic)",
+                    d_total, n_joined, window,
+                )
+        overlap = getattr(args, "sde_overlap", None)
         # joined train+test sort order / group-reset masks (static)
         order_j, _, resets_j = markov_order_resets(
             st, np.vstack([X_np, Xt_np])
@@ -208,6 +224,7 @@ def run(args) -> None:
                     kinds, vals, t_train, xs_train,
                     y, j_eff + sigma2, t_new, xs_new,
                     order=order_j, resets=resets_j,
+                    window=window or None, overlap=overlap,
                 )
             # latent at new points = process + independent jitter/noise diag
             return mu, jnp.maximum(var_x + j_eff, 1e-12)

@@ -176,8 +176,34 @@ def _ccombine(e1: _CElems, e2: _CElems) -> _CElems:
 #: Periodic harmonic count (Solin & Särkkä 2014): the kernel's Fourier
 #: series exp((cosθ−1)/l²) = Σ_j q_j²(l) cos(jθ) truncated at J harmonics
 #: (state dim 2J+1).  Truncation error grows as l shrinks (more harmonics
-#: matter); measured envelope in tests/results.
+#: matter); measured envelope: at l >= 0.7 even J=5 is <= 1e-3 nats, the
+#: J=10 default covers l >= 0.4 (benchmarks/results_v5e.txt) — so J is a
+#: USER KNOB (`--sde-harmonics`): in PRODUCT blocks the state dim
+#: multiplies (quasi-periodic Periodic*Matern32 is d = (2J+1)*2), and the
+#: sde gradient path is d^3-bound, so J=5 makes quasi-periodic SAMPLING
+#: ~7x cheaper than the J=10 default at zero accuracy cost for l >= 0.7.
 PERIODIC_J = 10
+
+
+def set_periodic_harmonics(J: int) -> None:
+    """Set the Periodic block's harmonic count (state dim 2J+1) for
+    subsequently built structures.  Process-wide by design: the harmonic
+    count participates in STATIC state-space structure (block dims), so it
+    must be fixed before a formula's structure is extracted and never
+    changed between building and running a program."""
+    global PERIODIC_J
+    if not (1 <= int(J) <= 64):
+        raise ValueError(f"--sde-harmonics must be in [1, 64], got {J}")
+    PERIODIC_J = int(J)
+
+
+def set_rq_nodes(K: int) -> None:
+    """Set the RQ block's Gamma-mixture node count (state dim K*SQEXP_ORDER);
+    same static-structure caveat as ``set_periodic_harmonics``."""
+    global RQ_MIX_K
+    if not (1 <= int(K) <= 32):
+        raise ValueError(f"--sde-rq-nodes must be in [1, 32], got {K}")
+    RQ_MIX_K = int(K)
 
 #: quadrature nodes for the Bessel coefficients q_j² = (2−δ_j0) e^{−x}I_j(x),
 #: evaluated as the midpoint rule on (1/π)∫₀^π e^{x(cosθ−1)} cos(jθ) dθ —
@@ -199,19 +225,22 @@ SQEXP_ORDER = 6
 RQ_MIX_K = 8
 
 _BLOCK_DIM = {BLOCK_OU: 1, BLOCK_M32: 2, BLOCK_M52: 3, BLOCK_CONST: 1,
-              BLOCK_LINEAR: 2, BLOCK_SQEXP: SQEXP_ORDER,
-              BLOCK_PERIODIC: 2 * PERIODIC_J + 1,
-              BLOCK_RQ: SQEXP_ORDER * RQ_MIX_K}
+              BLOCK_LINEAR: 2, BLOCK_SQEXP: SQEXP_ORDER}
 
 
 def block_dim(kind) -> int:
     """State dimension of a block kind; a tuple of kinds is a PRODUCT
-    kernel (Kronecker-composed SSM) whose dimension multiplies."""
+    kernel (Kronecker-composed SSM) whose dimension multiplies.  Periodic
+    and RQ dims follow the CURRENT harmonic/node knobs."""
     if isinstance(kind, tuple):
         d = 1
         for k in kind:
             d *= block_dim(k)
         return d
+    if kind == BLOCK_PERIODIC:
+        return 2 * PERIODIC_J + 1
+    if kind == BLOCK_RQ:
+        return SQEXP_ORDER * RQ_MIX_K
     return _BLOCK_DIM[kind]
 
 
@@ -291,7 +320,7 @@ def _sqexp_constants_cached(order: int = SQEXP_ORDER):
 _RQ_CONST_CACHE: dict = {}
 
 
-def rq_mixture_constants(alpha: float, K: int = RQ_MIX_K):
+def rq_mixture_constants(alpha: float, K: int = None):
     """Static (f64 numpy) Gamma-mixture quadrature for the RQ block:
     per-component lengthscale multipliers c_k = √(α/v_k) and normalized
     weights w_k (Σw = 1, so k(0) = 1 exactly), with (v_k, w_k) the K-node
@@ -307,6 +336,8 @@ def rq_mixture_constants(alpha: float, K: int = RQ_MIX_K):
     nonnegative weights (soft Σw=1) — far better for heavy-tailed α ≲ 1,
     where GGL's bulk-optimal nodes miss the polynomial kernel tail
     (measured: α=0.5, K=8: 8.8e-3 vs GGL 1.3e-1)."""
+    if K is None:
+        K = RQ_MIX_K
     key = (float(alpha), K)
     if key not in _RQ_CONST_CACHE:
         import numpy as _np
@@ -779,8 +810,87 @@ def ss_prior_sample(key, A, Q):
     return x
 
 
+def ss_smooth_windowed(kinds, params, ts, xs, ys, Rv, obs, resets,
+                       window: int, overlap: int):
+    """Windowed smoothing: H·m_s and H P_s Hᵀ at every (sorted) row,
+    computed in fixed-size overlapping chunks via ``lax.map``.
+
+    Motivation: the monolithic smoother's associative scans unroll
+    log2(n) combine levels; at high state dims (the quasi-periodic d=42)
+    the n=2^17 predict program did not finish COMPILING in 35 min on the
+    remote TPU service (CLAUDE.md round-4).  Chunks of W rows (default
+    2^14) bound the traced scan depth at log2(W + 2V) with ONE traced
+    window body (lax.map), so compile cost is independent of n, and
+    peak memory holds one window's (L, d, d) buffers.
+
+    Accuracy: the smoothed posterior at a row depends on remote rows only
+    through the Markov semigroup, whose influence decays exponentially in
+    Δt/lengthscale — each chunk carries ``overlap`` context rows on both
+    sides and only its interior W rows are kept, so interior estimates
+    match the monolithic smoother once overlap spans a few lengthscales
+    (parity-tested; tests/test_markov.py).  Each chunk restarts from the
+    stationary prior (build_steps zeroes the first transition) — exactly
+    the correct unconditional state for rows beyond the overlap horizon.
+
+    ``ts``/``ys``/``Rv``/``obs`` are the SORTED length-N arrays; ``xs``/
+    ``resets`` per-block payloads in the same order (resets entries may be
+    None).  Returns (mu, var) of length N."""
+    N = ts.shape[0]
+    dtype = ts.dtype
+    W, V = int(window), int(overlap)
+    nwin = -(-N // W)
+    back = nwin * W - N + V
+
+    def _pad(v, front_val, back_val):
+        return jnp.concatenate([
+            jnp.full((V,), front_val, v.dtype),
+            v,
+            jnp.full((back,), back_val, v.dtype),
+        ])
+
+    ts_p = _pad(ts, ts[0], ts[-1])
+    ys_p = _pad(ys, 0.0, 0.0)
+    Rv_p = _pad(jnp.broadcast_to(jnp.asarray(Rv, dtype), (N,)), 1.0, 1.0)
+    obs_p = _pad(jnp.asarray(obs, bool) if obs is not None
+                 else jnp.ones((N,), bool), False, False)
+
+    def _pad_x(x):
+        if x is None:
+            return None
+        if isinstance(x, tuple):
+            return tuple(_pad_x(a) for a in x)
+        return _pad(x, x[0], x[-1])
+
+    xs_p = [_pad_x(x) for x in xs]
+    resets_p = tuple(
+        None if r is None else _pad(jnp.asarray(r), False, False)
+        for r in (resets if resets is not None else (None,) * len(kinds))
+    )
+    L = W + 2 * V
+
+    def one(w):
+        lo = w * W
+
+        def sl(v):
+            if v is None:
+                return None
+            if isinstance(v, tuple):
+                return tuple(sl(a) for a in v)
+            return lax.dynamic_slice_in_dim(v, lo, L)
+
+        A, Q, H = build_steps(kinds, params, sl(ts_p), [sl(x) for x in xs_p],
+                              resets=tuple(sl(r) for r in resets_p))
+        m_s, P_s = ss_smooth(A, Q, H, sl(ys_p), sl(Rv_p), obs=sl(obs_p))
+        mu = jnp.einsum("nd,nd->n", H, m_s)
+        var = jnp.einsum("nd,nde,ne->n", H, P_s, H)
+        return mu[V:V + W], var[V:V + W]
+
+    mus, vars_ = lax.map(one, jnp.arange(nwin))
+    return mus.reshape(-1)[:N], vars_.reshape(-1)[:N]
+
+
 def ss_predict(kinds, params, t, xs, y, R, t_new, xs_new,
-               order=None, resets=None):
+               order=None, resets=None, window=None, overlap=None):
     """Posterior latent mean/var (H·x only) at t_new given observations
     (t, y) with obs variance R — matrix-state analogue of
     markov.ou_posterior_predict: new points join the sequence unobserved,
@@ -789,7 +899,11 @@ def ss_predict(kinds, params, t, xs, y, R, t_new, xs_new,
     ``order`` (optional) is the sort permutation over the JOINED (n+m)
     sequence and ``resets`` the per-block group-boundary masks in that
     sorted order (Markov×Cat formulas; computed by the caller from the
-    static group columns).  Default: sort by joined time, no groups."""
+    static group columns).  Default: sort by joined time, no groups.
+
+    ``window``/``overlap``: chunked smoothing (``ss_smooth_windowed``) —
+    the high-state-dim large-n mode where the monolithic program is
+    compile-bound; overlap defaults to window // 8."""
     n, m = t.shape[0], t_new.shape[0]
     tj = jnp.concatenate([t, t_new])
     yj = jnp.concatenate([y, jnp.zeros((m,), y.dtype)])
@@ -817,9 +931,16 @@ def ss_predict(kinds, params, t, xs, y, R, t_new, xs_new,
         return x[order]
 
     xs_s = [_perm(x) for x in xs_j]
-    A, Q, H = build_steps(kinds, params, tj[order], xs_s, resets=resets)
-    m_s, P_s = ss_smooth(A, Q, H, yj[order], Rv[order], obs=obs[order])
-    mu = jnp.einsum("nd,nd->n", H, m_s)
-    var = jnp.einsum("nd,nde,ne->n", H, P_s, H)
+    if window is not None and int(window) > 0 and n + m > int(window):
+        mu, var = ss_smooth_windowed(
+            kinds, params, tj[order], xs_s, yj[order], Rv[order], obs[order],
+            resets, int(window),
+            int(overlap) if overlap else max(1, int(window) // 8),
+        )
+    else:
+        A, Q, H = build_steps(kinds, params, tj[order], xs_s, resets=resets)
+        m_s, P_s = ss_smooth(A, Q, H, yj[order], Rv[order], obs=obs[order])
+        mu = jnp.einsum("nd,nd->n", H, m_s)
+        var = jnp.einsum("nd,nde,ne->n", H, P_s, H)
     inv = jnp.argsort(order)
     return mu[inv][n:], var[inv][n:]

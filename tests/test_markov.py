@@ -1005,3 +1005,140 @@ def test_ss_filter_cov_matches_full_filter():
     P_cov_m = ss.ss_filter_cov(A, Q, H, 0.3, obs=obs)
     np.testing.assert_allclose(np.asarray(P_cov_m), np.asarray(P_full_m),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_sde_harmonics_knob():
+    """--sde-harmonics J (VERDICT r4): Periodic state dim becomes 2J+1 —
+    J=5 turns the quasi-periodic product's d=42 into d=22 (inside the
+    unrolled-solve fast path, ~7x fewer d^3 FLOPs) — and is accuracy-free
+    for l >= 0.7 (measured J=10 table showed truncation only matters at
+    small l).  The RQ node knob scales its mixture dim the same way."""
+    from gaplac_tpu.inference.routing import sde_structure_info
+    from gaplac_tpu.ops import markov_ss as mss
+
+    rng = np.random.default_rng(61)
+    n = 150
+    x = np.sort(rng.uniform(0, 10, n))
+    X = jnp.asarray(x[:, None])
+    y = jnp.asarray(np.sin(2 * np.pi * x / 3.0) + rng.normal(0, 0.3, n))
+    spec = parse_formula("y ~| Periodic(:x; p=3.0)")
+    ck = compile_formula(spec.formula)
+    md = build_model(ck, ["x"], X, y, spec.likelihood)
+    assert mss.block_dim(mss.BLOCK_PERIODIC) == 21  # default J=10
+    try:
+        mss.set_periodic_harmonics(5)
+        assert mss.block_dim(mss.BLOCK_PERIODIC) == 11
+        m5 = build_model(ck, ["x"], X, y, spec.likelihood, approx="sde")
+        for ell, tol in [(0.7, 2e-3), (1.0, 2e-4), (2.0, 1e-5)]:
+            u = m5.position_from(jnp.asarray([ell]), None)
+            a, b = float(m5.logdensity(u)), float(md.logdensity(u))
+            assert abs(a - b) < tol * max(1.0, abs(b)), ell
+
+        # quasi-periodic product: d = 11 * 2 = 22 <= 24 (fast-path)
+        ck_qp = compile_formula(
+            parse_formula("y ~| Periodic(:x; p=3.0) * Matern32(:x)").formula)
+        Xqp = np.stack([x, x], 1)
+        d, _, _ = sde_structure_info(ck_qp, Xqp)
+        assert d == 22
+
+        # J out of range rejected
+        with pytest.raises(ValueError):
+            mss.set_periodic_harmonics(0)
+    finally:
+        mss.set_periodic_harmonics(10)
+
+    try:
+        mss.set_rq_nodes(4)
+        assert mss.block_dim(mss.BLOCK_RQ) == 24
+        ck_rq = compile_formula(parse_formula("y ~| RQ(:x; alpha=2)").formula)
+        m_rq = build_model(ck_rq, ["x"], X, y, spec.likelihood, approx="sde")
+        md_rq = build_model(ck_rq, ["x"], X, y, spec.likelihood)
+        u = m_rq.position_from(jnp.asarray([1.0]), None)
+        # K=4 quadrature is coarser than the K=8 default but still close
+        assert abs(float(m_rq.logdensity(u)) - float(md_rq.logdensity(u))) < 0.5
+    finally:
+        mss.set_rq_nodes(8)
+
+
+def test_cli_sde_harmonics_flag(tmp_path):
+    """--sde-harmonics threads from the CLI into the structure build (and
+    is reset here to keep the test process clean)."""
+    import pandas as pd
+
+    from gaplac_tpu.cli.main import main
+    from gaplac_tpu.ops import markov_ss as mss
+
+    rng = np.random.default_rng(62)
+    n = 40
+    x = np.sort(rng.uniform(0, 10, n))
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": np.sin(2 * np.pi * x / 3.0)
+                  + rng.normal(0, 0.3, n)}).to_csv(data, sep="\t", index=False)
+    out = tmp_path / "c.tsv"
+    try:
+        rc = main(["--platform", "cpu", "mcmc", "y ~| Periodic(:x; p=3.0)",
+                   "--data", str(data), "--infer", "x", "--approx", "sde",
+                   "--sde-harmonics", "5", "--samples", "6", "--warmup", "10",
+                   "--seed", "0", "--output", str(out)])
+        assert rc == 0
+        assert mss.PERIODIC_J == 5  # knob took effect
+        assert np.isfinite(pd.read_csv(out, sep="\t")["lp"]).all()
+    finally:
+        mss.set_periodic_harmonics(10)
+
+
+def test_windowed_smoothing_matches_monolithic():
+    """ss_smooth_windowed / ss_predict(window=...): interior estimates match
+    the monolithic smoother once the overlap spans a few lengthscales —
+    the compile-bounded high-d predict mode (VERDICT r4 task 9)."""
+    from gaplac_tpu.ops import markov_ss as ss
+
+    rng = np.random.default_rng(77)
+    n, m = 512, 64
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(np.sin(2 * np.pi * t / 3.0) + 0.3 * rng.standard_normal(n))
+    tn = jnp.asarray(np.sort(rng.uniform(0.5, 9.5, m)))
+    # short lengthscales so 96 overlap rows span >> 5 lengthscales
+    kinds = [ss.BLOCK_M32, (ss.BLOCK_PERIODIC, ss.BLOCK_OU)]
+    params = [0.25, ((0.8, 3.0), 0.4)]
+    xs = [None, (None, None)]
+    xs_new = [None, (None, None)]
+    mu_m, var_m = ss.ss_predict(kinds, params, t, xs, y, 0.3, tn, xs_new)
+    mu_w, var_w = ss.ss_predict(kinds, params, t, xs, y, 0.3, tn, xs_new,
+                                window=128, overlap=96)
+    np.testing.assert_allclose(np.asarray(mu_w), np.asarray(mu_m),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_w), np.asarray(var_m),
+                               rtol=1e-5, atol=1e-6)
+    # tiny overlap must NOT match (sanity that the tolerance bites)
+    mu_t, _ = ss.ss_predict(kinds, params, t, xs, y, 0.3, tn, xs_new,
+                            window=128, overlap=1)
+    assert np.abs(np.asarray(mu_t) - np.asarray(mu_m)).max() > 1e-4
+
+
+def test_cli_predict_sde_window(tmp_path):
+    """predict --approx sde --sde-window: same output schema, near-identical
+    values to the monolithic run."""
+    import pandas as pd
+
+    from gaplac_tpu.cli.main import main
+
+    rng = np.random.default_rng(78)
+    n = 300
+    x = np.sort(rng.uniform(0, 10, n))
+    data = tmp_path / "d.tsv"
+    pd.DataFrame({"x": x, "y": np.sin(2 * np.pi * x / 3.0)
+                  + rng.normal(0, 0.3, n)}).to_csv(data, sep="\t", index=False)
+    outs = []
+    for name, extra in [("mono", []), ("win", ["--sde-window", "100",
+                                               "--sde-overlap", "60"])]:
+        out = tmp_path / f"p_{name}.tsv"
+        rc = main(["--platform", "cpu", "predict", "y ~| Matern32(:x; l=0.5)",
+                   "--data", str(data), "--at", "x=0.5:0.25:9.5",
+                   "--approx", "sde", "--output", str(out)] + extra)
+        assert rc == 0
+        outs.append(pd.read_csv(out, sep="\t"))
+    np.testing.assert_allclose(outs[1]["ymu"], outs[0]["ymu"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[1]["yQ050"], outs[0]["yQ050"],
+                               rtol=1e-4, atol=1e-5)
