@@ -146,6 +146,13 @@ def main() -> None:
                 "value": round(chees_rate, 3),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(chees_rate / REF_EST_SAMPLES_PER_SEC, 3),
+                "context": "flat across rounds BY DESIGN: n=500 is "
+                           "small-matrix latency-bound (<1% MFU; the dense "
+                           "batched leapfrog is compute-bound past ~4 chains "
+                           "and the dispatch floor is amortized — "
+                           "SCALING_r04.md). Scale lives on the sde path: "
+                           "exact sampling measured to n=2^19 "
+                           "(results_v5e.txt round-5).",
                 "spread": {
                     "reps": N_REPS,
                     "chees_min": round(min(chees_rates), 3),
