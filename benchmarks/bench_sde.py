@@ -60,20 +60,37 @@ def main():
     say(f"backend={backend} devices={jax.devices()}")
     dtype = jnp.float32 if backend != "cpu" else jnp.float64
 
+    # GAPLAC_SDE_HARMONICS trims the Periodic block (state dim 2J+1;
+    # J=5 is accuracy-free for l >= 0.7 — results_v5e round-5 table)
+    if os.environ.get("GAPLAC_SDE_HARMONICS"):
+        from gaplac_tpu.ops import markov_ss as _mss
+
+        _mss.set_periodic_harmonics(int(os.environ["GAPLAC_SDE_HARMONICS"]))
+        say(f"periodic harmonics J={_mss.PERIODIC_J}")
+
     for n_obs in STAGES:
         rng = np.random.default_rng(0)
         x = np.sort(rng.uniform(0, 2000.0, n_obs))
-        y = np.sin(x / 1.5) + rng.normal(0, 1.0, n_obs)
+        # GAPLAC_SDE_FORMULA switches the model, e.g. the quasi-periodic
+        # matrix-state "y ~| Periodic(:x; p=3.0) * Matern32(:x)" (d=42
+        # Kronecker block) vs the default scalar OU (d=1); a non-Gaussian
+        # likelihood ("y : Bernoulli ~| OU(:x)") routes through the
+        # state-space Laplace marginal with binary data
+        formula = os.environ.get("GAPLAC_SDE_FORMULA", "y ~| OU(:x)")
+        spec = parse_formula(formula)
+        if spec.likelihood.name == "bernoulli":
+            latent = np.sin(x / 1.5) + rng.normal(0, 0.5, n_obs)
+            y = (rng.uniform(0, 1, n_obs) < 1 / (1 + np.exp(-latent))
+                 ).astype(float)
+        elif spec.likelihood.name == "poisson":
+            y = rng.poisson(np.exp(0.5 * np.sin(x / 1.5)), n_obs).astype(float)
+        else:
+            y = np.sin(x / 1.5) + rng.normal(0, 1.0, n_obs)
         X = jnp.asarray(x[:, None], dtype)
         yj = jnp.asarray(y, dtype)
         float(jnp.sum(yj))
         say(f"n={n_obs}: data uploaded")
 
-        # GAPLAC_SDE_FORMULA switches the model, e.g. the quasi-periodic
-        # matrix-state "y ~| Periodic(:x; p=3.0) * Matern32(:x)" (d=42
-        # Kronecker block) vs the default scalar OU (d=1)
-        formula = os.environ.get("GAPLAC_SDE_FORMULA", "y ~| OU(:x)")
-        spec = parse_formula(formula)
         ck = compile_formula(spec.formula)
         if ck.n_leaves > 1:  # one design column per leaf (shared variable)
             X = jnp.broadcast_to(X, (n_obs, ck.n_leaves))
@@ -127,6 +144,41 @@ def main():
         # fault the worker regardless — 3/3 crashes across ChEES and HMC;
         # program size is the correlate.  CLAUDE.md round-4 notes.)
         sampler_name = os.environ.get("GAPLAC_SDE_SAMPLER", "chees")
+        if sampler_name == "segmented":
+            # the round-5 large-n mode: jit ONE short segment (value+grad
+            # scale), drive warmup/sampling from the host — the compiled
+            # program never reaches the n>=2^18 program-size fault class
+            from gaplac_tpu.inference.segmented import run_hmc_segmented
+
+            LEAPS = int(os.environ.get("GAPLAC_SDE_LEAPFROGS", 16))
+            SEG = int(os.environ.get("GAPLAC_SDE_SEGMENT", 25))
+            t0 = time.time()
+            r = run_hmc_segmented(
+                jax.random.key(7), None, q0, SAMPLES, num_warmup=WARMUP,
+                num_leapfrogs=LEAPS, segment_size=SEG,
+                data=model.data, logdensity_data=model.logdensity_data,
+                progress=False,
+            )
+            dt = time.time() - t0
+            rate = CHAINS * (SAMPLES + WARMUP) / dt
+            say(
+                f"n={n_obs} chains={CHAINS} segmented "
+                f"accept={float(np.asarray(r.accept_prob).mean()):.2f} "
+                f"eps={float(r.step_size):.4f} (incl. segment compiles)"
+            )
+            print(json.dumps({
+                "metric": f"EXACT GP sampling END-TO-END, n={n_obs} obs "
+                          f"({formula.split('~|')[1].strip()} state-space "
+                          f"marginal, segmented HMC({LEAPS} lf) x{SEG}/seg, "
+                          f"{CHAINS} chains, warmup+samples="
+                          f"{WARMUP}+{SAMPLES})",
+                "value": round(rate, 2),
+                "unit": "samples/s/chip",
+                "seconds_per_transition": round(
+                    dt / (CHAINS * (SAMPLES + WARMUP)), 5),
+                "wallclock_incl_compile_s": round(dt, 1),
+            }), flush=True)
+            continue
         if sampler_name == "hmc":
             from gaplac_tpu.inference.chees import run_hmc
             LEAPS = int(os.environ.get("GAPLAC_SDE_LEAPFROGS", 16))

@@ -147,12 +147,15 @@ def build_laplace_marginal_markov(
     resets_j = tuple(None if r is None else jnp.asarray(r)
                      for r in st.resets)
     loglik_fn = make_loglik(likelihood)
-    ll = lambda f: jnp.sum(loglik_fn(ys, f, aux_s))
-    grad_ll = jax.grad(ll)
+    #: O(n) arrays exposed as GPModel.data so large-n callers (segmented
+    #: sampling, bench harnesses) pass them through jit as PARAMETERS —
+    #: closure literals lower to multi-MB HLO (GPModel.logdensity_data)
+    data = {"ts": ts, "ys": ys, "xs": xs_sorted, "resets": resets_j,
+            "aux": aux_s}
 
-    def _steps(p):
+    def _steps(p, d):
         return mss.build_steps(kinds, markov_param_vals(ck, st, p, dtype),
-                               ts, xs_sorted, resets=resets_j)
+                               d["ts"], d["xs"], resets=d["resets"])
 
     def _jeff(p):
         j = jnp.asarray(jitter, dtype)
@@ -167,34 +170,40 @@ def build_laplace_marginal_markov(
         m_x = jnp.einsum("nd,nd->n", H, m_s)
         return m_x + j_eff * (z - m_x) / (j_eff + Rw)
 
-    def _fit(u):
+    def _fit(u, d):
         theta = tr.forward(u)
         p = params_from(theta)
-        A, Q, H = _steps(p)
+        A, Q, H = _steps(p, d)
         j_eff = _jeff(p)
+        ll = lambda f: jnp.sum(loglik_fn(d["ys"], f, d["aux"]))
+        grad_ll = jax.grad(ll)
 
         def newton(f, _):
             g = grad_ll(f)
-            W = jnp.maximum(-_diag_hess(loglik_fn, ys, f, aux_s), 1e-9)
+            W = jnp.maximum(-_diag_hess(loglik_fn, d["ys"], f, d["aux"]), 1e-9)
             Rw = 1.0 / W
             z = f + g * Rw
             return _smooth_correct(A, Q, H, j_eff, z, Rw), None
 
         f0 = jnp.zeros((n,), dtype)
         f_hat, _ = jax.lax.scan(newton, f0, None, length=num_iters)
-        W = jnp.maximum(-_diag_hess(loglik_fn, ys, f_hat, aux_s), 1e-9)
+        W = jnp.maximum(-_diag_hess(loglik_fn, d["ys"], f_hat, d["aux"]), 1e-9)
         quad, _ = mss.ss_loglik_parts(A, Q, H, f_hat, j_eff)
         _, logdet_T = mss.ss_loglik_parts(A, Q, H, f_hat, j_eff + 1.0 / W)
         log_B = logdet_T + jnp.sum(jnp.log(W))
         log_marginal = -0.5 * quad + ll(f_hat) - 0.5 * log_B
         return theta, (A, Q, H), j_eff, f_hat, W, log_marginal
 
-    def logdensity(u: jnp.ndarray) -> jnp.ndarray:
-        _, _, _, _, _, lm = _fit(u)
+    def logdensity_data(u: jnp.ndarray, d) -> jnp.ndarray:
+        _, _, _, _, _, lm = _fit(u, d)
         return lm + jnp.sum(tr.logprior_u(u))
 
-    def report(key: jax.Array, u: jnp.ndarray):
-        theta, AQH, j_eff, f_hat, W, _ = _fit(u)
+    def logdensity(u: jnp.ndarray) -> jnp.ndarray:
+        return logdensity_data(u, data)
+
+    def report(key: jax.Array, u: jnp.ndarray, d=None):
+        d = data if d is None else d
+        theta, AQH, j_eff, f_hat, W, _ = _fit(u, d)
         A, Q, H = AQH
         Rw = 1.0 / W
         # Matheron draw from N(f̂, (K_eff⁻¹ + W)⁻¹): f̂ + f* − S T⁻¹(f* + ε*)
@@ -208,7 +217,7 @@ def build_laplace_marginal_markov(
         lp = (
             jnp.sum(tr.logprior_x(theta))
             + mss.ss_loglik(A, Q, H, f, j_eff)
-            + jnp.sum(loglik_fn(ys, f, aux_s))
+            + jnp.sum(loglik_fn(d["ys"], f, d["aux"]))
         )
         return theta, f[inv_idx], lp
 
@@ -219,7 +228,8 @@ def build_laplace_marginal_markov(
         return tr.inverse(jnp.asarray(theta, dtype))
 
     return GPModel(nh, nh, logdensity, report, tr.forward, initial_position,
-                   True, position_from)
+                   True, position_from, logdensity_data=logdensity_data,
+                   data=data)
 
 
 def build_laplace_marginal(
