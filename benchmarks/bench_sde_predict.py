@@ -70,8 +70,21 @@ def main():
         st = _markov_structure(ck, np.asarray(X))
         kindsT = tuple(b[0] for b in st.blocks)
 
+        # GAPLAC_SDEP_WINDOW chunks the smoother (ss_smooth_windowed):
+        # compile cost independent of n — the d=42 n=2^17 MONOLITHIC
+        # program never finished compiling (35 min, abandoned; round 4)
+        window = int(os.environ.get("GAPLAC_SDEP_WINDOW", "0"))
+        overlap = int(os.environ.get("GAPLAC_SDEP_OVERLAP", "0")) \
+            or max(1, window // 8)
+
         @jax.jit
         def smooth_predict(p, data):
+            if window and n > window:
+                mean, var = mss.ss_smooth_windowed(
+                    kindsT, markov_param_vals(ck, st, p, dtype),
+                    data["ts"], list(data["xs"]), data["ys"], 0.1, None,
+                    data["resets"], window, overlap)
+                return mean, var
             A, Q, H = mss.build_steps(
                 kindsT, markov_param_vals(ck, st, p, dtype),
                 data["ts"], data["xs"], resets=data["resets"])
@@ -89,9 +102,11 @@ def main():
         s = float(jnp.sum(mean) + jnp.sum(var))
         dt = time.time() - t0
         assert np.isfinite(s)
+        wtag = (f", windowed W={window}/V={overlap}"
+                if window and n > window else "")
         print(json.dumps({
             "metric": f"sde posterior smooth+predict (forward-only), "
-                      f"{formula.split('~|')[1].strip()}, n={n}",
+                      f"{formula.split('~|')[1].strip()}, n={n}{wtag}",
             "value": round(n / dt, 1),
             "unit": "obs/s",
             "seconds": round(dt, 4),
