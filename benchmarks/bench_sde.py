@@ -168,7 +168,7 @@ def main():
             )
             print(json.dumps({
                 "metric": f"EXACT GP sampling END-TO-END, n={n_obs} obs "
-                          f"({formula.split('~|')[1].strip()} state-space "
+                          f"({formula!r} state-space "
                           f"marginal, segmented HMC({LEAPS} lf) x{SEG}/seg, "
                           f"{CHAINS} chains, warmup+samples="
                           f"{WARMUP}+{SAMPLES})",
