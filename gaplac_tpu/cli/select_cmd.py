@@ -135,7 +135,10 @@ def run(args) -> None:
 def _markov_fixed_lp(args, ck, X, y) -> float:
     """Fixed-hyperparameter logpdf through the exact state-space path
     (--approx sde): parallel-Kalman log N(y; 0, K + (jitter + s2) I) —
-    O(n log n), exact (ops/markov.py / ops/markov_ss.py)."""
+    O(n log n), exact (ops/markov.py / ops/markov_ss.py).  Jitted with the
+    O(n) arrays as parameters: the eager form dispatches hundreds of
+    individually-compiled ops through a remote TPU tunnel (minutes at
+    n=2^17); one compiled program runs in milliseconds."""
     from gaplac_tpu.inference.model import (
         _markov_structure, markov_block_xs, markov_param_vals,
     )
@@ -149,15 +152,20 @@ def _markov_fixed_lp(args, ck, X, y) -> float:
     ts = jnp.asarray(st.t_sorted, X.dtype)
     ys = jnp.asarray(y)[idx]
     if st.scalar_ou:
-        return float(markov.ou_loglik(ts, ys, p[st.blocks[0][1]], j_eff))
-    A, Q, H = mss.build_steps(
-        tuple(b[0] for b in st.blocks),
-        markov_param_vals(ck, st, p, X.dtype),
-        ts,
-        markov_block_xs(st, X, idx=idx),
-        resets=st.resets,
-    )
-    return float(mss.ss_loglik(A, Q, H, ys, j_eff))
+        return float(jax.jit(markov.ou_loglik)(
+            ts, ys, p[st.blocks[0][1]], j_eff))
+    kinds = tuple(b[0] for b in st.blocks)
+    resets = tuple(None if r is None else jnp.asarray(r) for r in st.resets)
+
+    @jax.jit
+    def lp(ts_, ys_, xs_, p_):
+        A, Q, H = mss.build_steps(
+            kinds, markov_param_vals(ck, st, p_, X.dtype), ts_, xs_,
+            resets=resets,
+        )
+        return mss.ss_loglik(A, Q, H, ys_, j_eff)
+
+    return float(lp(ts, ys, markov_block_xs(st, X, idx=idx), p))
 
 
 def _lowrank_fixed_lp(args, ck, X, y) -> float:
