@@ -166,6 +166,272 @@ def _ccombine(e1: _CElems, e2: _CElems) -> _CElems:
 
 
 # ---------------------------------------------------------------------------
+# Tiny-d struct-of-arrays (SoA) fast path
+# ---------------------------------------------------------------------------
+#
+# TPU HBM layout pads the two MINOR dims of every array to the (8, 128)
+# f32 tile.  The (n, d, d) / (n, d) element arrays above put (d, d) in the
+# minor dims, so tiny state dims pay catastrophic padding: measured on v5e,
+# (particles, n, 2, 2) scan elements expand ~64x (15.75 GB of padding per
+# 256 MB logical array — the 128-particle Matern32 SMC at n=2^17 OOM'd AT
+# COMPILE; benchmarks/results_v5e.txt round-5).  The scalar OU path
+# (ops/markov.py) is immune because every array it stores is 1-D (n,).
+#
+# This section generalizes that immunity to d <= SOA_MAX_D: a matrix is a
+# row-major tuple-of-tuples of d**2 SEPARATE (n,) arrays, a vector a tuple
+# of d arrays ("struct of arrays").  ``lax.associative_scan`` composes over
+# arbitrary pytrees, so the filter/smoother scans carry only 1-D leaves —
+# zero tile padding in the scan storage AND in autodiff's per-level
+# residuals (where the memory multiplier actually bites).  The combine
+# algebra is identical to _mcombine/_ccombine/_scombine; the d**3 products
+# unroll into elementwise (n,)-array ops that XLA fuses.  Covers the
+# Matern32 (d=2) / Matern52 (d=3) / Linear (d=2) workhorse formulas and
+# additive sums up to SOA_MAX_D; bigger states (SqExp 6, Periodic 21,
+# products) keep the dense layout, whose padding is mild at d >= 6.
+
+#: max TOTAL state dim routed through the SoA path (env
+#: GAPLAC_SDE_SOA_MAX_D; 0 disables — used by the parity tests).  Default 4:
+#: the unrolled combine emits O(d^2) HLO leaves per element, and by d ~ 6
+#: the dense tile padding (8/d) is modest while the SoA trace grows.
+SOA_MAX_D = int(__import__("os").environ.get("GAPLAC_SDE_SOA_MAX_D", "4"))
+
+#: also use SoA on the CPU backend (env GAPLAC_SDE_SOA_CPU).  Default off:
+#: CPU has no tile padding to save, and the d^2-leaf elements multiply
+#: TRACE time (paid per program, uncached) — measured ~1.7x on the CPU
+#: test suite.  TPU/other accelerators always route SoA for d <= SOA_MAX_D.
+SOA_ON_CPU = bool(int(__import__("os").environ.get("GAPLAC_SDE_SOA_CPU", "0")))
+
+
+def _soa_active(d: int) -> bool:
+    if d > SOA_MAX_D:
+        return False
+    return SOA_ON_CPU or jax.default_backend() != "cpu"
+
+
+def _soa_mat(A, d):
+    """(n, d, d) -> row-major tuple-of-tuples of (n,) arrays."""
+    return tuple(tuple(A[..., i, j] for j in range(d)) for i in range(d))
+
+
+def _soa_vec(v, d):
+    return tuple(v[..., i] for i in range(d))
+
+
+def _soa_to_mat(X):
+    return jnp.stack([jnp.stack(row, -1) for row in X], -2)
+
+
+def _soa_to_vec(x):
+    return jnp.stack(x, -1)
+
+
+def _soa_eye_plus(M):
+    return tuple(
+        tuple(M[i][j] + 1.0 if i == j else M[i][j] for j in range(len(M)))
+        for i in range(len(M))
+    )
+
+
+def _soa_mm(X, Y):
+    return tuple(
+        tuple(sum(X[i][k] * Y[k][j] for k in range(len(Y)))
+              for j in range(len(Y[0])))
+        for i in range(len(X))
+    )
+
+
+def _soa_mv(X, v):
+    return tuple(sum(X[i][k] * v[k] for k in range(len(v)))
+                 for i in range(len(X)))
+
+
+def _soa_vm(v, X):
+    """Row-vector times matrix: (vᵀX)_j = Σ_i v_i X_ij."""
+    return tuple(sum(v[i] * X[i][j] for i in range(len(v)))
+                 for j in range(len(X[0])))
+
+
+def _soa_t(X):
+    return tuple(tuple(X[i][j] for i in range(len(X)))
+                 for j in range(len(X[0])))
+
+
+def _soa_madd(X, Y):
+    return tuple(tuple(X[i][j] + Y[i][j] for j in range(len(X[0])))
+                 for i in range(len(X)))
+
+
+def _soa_vadd(x, y):
+    return tuple(a + b for a, b in zip(x, y))
+
+
+def _soa_solve(D, B):
+    """D⁻¹B on SoA operands (B row-major d×k) — the same UNPIVOTED
+    Gauss-Jordan as ``solve_small`` (same conditioning argument: every
+    system is I + PSD·PSD or predicted-cov + noise), fully unrolled into
+    scalar (n,)-array ops."""
+    d, k = len(D), len(B[0])
+    M = [list(D[i]) + list(B[i]) for i in range(d)]
+    for i in range(d):
+        inv = 1.0 / M[i][i]
+        piv = [m * inv for m in M[i]]
+        for r in range(d):
+            if r != i:
+                f = M[r][i]
+                M[r] = [M[r][j] - f * piv[j] for j in range(d + k)]
+        M[i] = piv
+    return tuple(tuple(M[i][d + j] for j in range(k)) for i in range(d))
+
+
+def _soa_shift(x):
+    """Per-leaf prepend-zero shift: x_k -> x_{k-1} (x_0 -> 0)."""
+    return jax.tree_util.tree_map(
+        lambda v: jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1]]), x)
+
+
+def _mcombine_soa(e1, e2):
+    """_mcombine on SoA elements (A, b, C, eta, J) — identical algebra."""
+    A1, b1, C1, eta1, J1 = e1
+    A2, b2, C2, eta2, J2 = e2
+    d = len(A1)
+    D = _soa_eye_plus(_soa_mm(C1, J2))
+    Dt = _soa_eye_plus(_soa_mm(J2, C1))
+    bC = _soa_vadd(b1, _soa_mv(C1, eta2))
+    X = _soa_solve(D, tuple(
+        A1[i] + (bC[i],) + C1[i] for i in range(d)))
+    XA = tuple(X[i][:d] for i in range(d))
+    Xb = tuple(X[i][d] for i in range(d))
+    XC = tuple(X[i][d + 1:] for i in range(d))
+    A = _soa_mm(A2, XA)
+    b = _soa_vadd(_soa_mv(A2, Xb), b2)
+    C = _soa_madd(_soa_mm(_soa_mm(A2, XC), _soa_t(A2)), C2)
+    rhs = tuple(eta2[i] - sum(J2[i][k] * b1[k] for k in range(d))
+                for i in range(d))
+    Y = _soa_solve(Dt, tuple((rhs[i],) + J2[i] for i in range(d)))
+    Y0 = tuple(Y[i][0] for i in range(d))
+    YJ = tuple(Y[i][1:] for i in range(d))
+    A1t = _soa_t(A1)
+    eta = _soa_vadd(_soa_mv(A1t, Y0), eta1)
+    J = _soa_madd(_soa_mm(_soa_mm(A1t, YJ), A1), J1)
+    return A, b, C, eta, J
+
+
+def _ccombine_soa(e1, e2):
+    """_ccombine (covariance-only) on SoA elements (A, C, J)."""
+    A1, C1, J1 = e1
+    A2, C2, J2 = e2
+    d = len(A1)
+    D = _soa_eye_plus(_soa_mm(C1, J2))
+    Dt = _soa_eye_plus(_soa_mm(J2, C1))
+    X = _soa_solve(D, tuple(A1[i] + C1[i] for i in range(d)))
+    XA = tuple(X[i][:d] for i in range(d))
+    XC = tuple(X[i][d:] for i in range(d))
+    A = _soa_mm(A2, XA)
+    C = _soa_madd(_soa_mm(_soa_mm(A2, XC), _soa_t(A2)), C2)
+    Y = _soa_solve(Dt, J2)
+    A1t = _soa_t(A1)
+    J = _soa_madd(_soa_mm(_soa_mm(A1t, Y), A1), J1)
+    return A, C, J
+
+
+def _scombine_soa(a, b):
+    """_scombine (backward smoothing recurrence) on SoA elements (E, g, L)."""
+    E = _soa_mm(b[0], a[0])
+    g = _soa_vadd(_soa_mv(b[0], a[1]), b[1])
+    L = _soa_madd(_soa_mm(_soa_mm(b[0], a[2]), _soa_t(b[0])), b[2])
+    return E, g, L
+
+
+def _soa_filter_elems(A, Q, H, y, R, obs, with_mean=True):
+    """SoA filtering elements from dense per-step (A, Q, H).  The dense
+    inputs are consumed via (n,)-slices, so XLA fuses the slice into each
+    element expression and the padded (n, d, d) form never round-trips
+    through the scan."""
+    n, d, _ = A.shape
+    dtype = A.dtype
+    Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
+    As = _soa_mat(A, d)
+    Qs = _soa_mat(Q, d)
+    Hs = _soa_vec(H, d)
+    QH = _soa_mv(Qs, Hs)
+    S = sum(Hs[i] * QH[i] for i in range(d)) + Rv
+    w = (jnp.ones((n,), dtype) if obs is None else jnp.asarray(obs, dtype))
+    K = tuple(QH[i] * w / S for i in range(d))
+    ImKH = tuple(
+        tuple((1.0 if i == j else 0.0) - K[i] * Hs[j] for j in range(d))
+        for i in range(d))
+    eA = _soa_mm(ImKH, As)
+    eC = _soa_mm(ImKH, Qs)
+    HA = _soa_vm(Hs, As)
+    eJ = tuple(tuple(HA[i] * HA[j] * (w / S) for j in range(d))
+               for i in range(d))
+    if not with_mean:
+        return (eA, eC, eJ), (As, Qs, Hs, Rv, S)
+    eb = tuple(K[i] * y for i in range(d))
+    eeta = tuple(HA[i] * (w * y / S) for i in range(d))
+    return (eA, eb, eC, eeta, eJ), (As, Qs, Hs, Rv, S)
+
+
+def _ss_filter_soa(A, Q, H, y, R, obs=None):
+    """SoA parallel Kalman filter: returns (m_f, P_f) as SoA plus the SoA
+    per-step model (As, Qs, Hs, Rv)."""
+    elems, (As, Qs, Hs, Rv, _) = _soa_filter_elems(A, Q, H, y, R, obs)
+    pre = lax.associative_scan(_mcombine_soa, elems)
+    return pre[1], pre[2], (As, Qs, Hs, Rv)
+
+
+def _ss_loglik_parts_soa(A, Q, H, y, R):
+    m_f, P_f, (As, Qs, Hs, Rv) = _ss_filter_soa(A, Q, H, y, R)
+    d = len(Hs)
+    m_prev = _soa_shift(m_f)
+    P_prev = _soa_shift(P_f)
+    m_pred = _soa_mv(As, m_prev)
+    P_pred = _soa_madd(_soa_mm(_soa_mm(As, P_prev), _soa_t(As)), Qs)
+    mean = sum(Hs[i] * m_pred[i] for i in range(d))
+    S = sum(Hs[i] * P_pred[i][j] * Hs[j]
+            for i in range(d) for j in range(d)) + Rv
+    r = y - mean
+    return jnp.sum(r * r / S), jnp.sum(jnp.log(S))
+
+
+def _ss_filter_cov_soa(A, Q, H, R, obs=None):
+    """SoA covariance-only filter; returns P_f SoA + SoA model pieces."""
+    elems, (As, Qs, Hs, Rv, _) = _soa_filter_elems(
+        A, Q, H, None, R, obs, with_mean=False)
+    pre = lax.associative_scan(_ccombine_soa, elems)
+    return pre[1], (As, Qs, Hs, Rv)
+
+
+def _ss_smooth_soa(A, Q, H, y, R, obs=None):
+    """SoA parallel RTS smoother — ``ss_smooth`` with 1-D scan storage."""
+    n, d, _ = A.shape
+    dtype = A.dtype
+    m_f, P_f, (As, Qs, Hs, Rv) = _ss_filter_soa(A, Q, H, y, R, obs=obs)
+    head = lambda x: jax.tree_util.tree_map(lambda v: v[:-1], x)
+    tail = lambda x: jax.tree_util.tree_map(lambda v: v[1:], x)
+    A1 = tail(As)
+    Pfm = head(P_f)
+    mfm = head(m_f)
+    Pp = _soa_madd(_soa_mm(_soa_mm(A1, Pfm), _soa_t(A1)), tail(Qs))
+    E = _soa_t(_soa_solve(Pp, _soa_mm(A1, Pfm)))
+    g = tuple(mfm[i] - sum(E[i][k] * v for k, v in
+                           enumerate(_soa_mv(A1, mfm)))
+              for i in range(d))
+    L = tuple(tuple(Pfm[i][j] - s for j, s in enumerate(row))
+              for i, row in enumerate(_soa_mm(_soa_mm(E, Pp), _soa_t(E))))
+    zero = jnp.zeros((1,), dtype)
+    cat = lambda v, last: jnp.concatenate([v, last])
+    elems = (
+        tuple(tuple(cat(E[i][j], zero) for j in range(d)) for i in range(d)),
+        tuple(cat(g[i], m_f[i][-1:]) for i in range(d)),
+        tuple(tuple(cat(L[i][j], P_f[i][j][-1:]) for j in range(d))
+              for i in range(d)),
+    )
+    suf = lax.associative_scan(_scombine_soa, elems, reverse=True)
+    return suf[1], suf[2]
+
+
+# ---------------------------------------------------------------------------
 # Leaf state blocks
 # ---------------------------------------------------------------------------
 
@@ -591,6 +857,9 @@ def ss_filter(A, Q, H, y, R, obs=None):
     for x_k = A_k x_{k-1} + N(0, Q_k), y_k = H_k·x_k + N(0, R_k).  ``obs``
     (bool (n,)) masks out unobserved points (they contribute no update)."""
     n, d, _ = A.shape
+    if _soa_active(d):
+        m_f, P_f, _ = _ss_filter_soa(A, Q, H, y, R, obs=obs)
+        return _soa_to_vec(m_f), _soa_to_mat(P_f)
     dtype = A.dtype
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
     QH = (Q @ H[..., None])[..., 0]                        # (n, d)
@@ -620,6 +889,9 @@ def ss_filter_cov(A, Q, H, R, obs=None):
     caller that needs P_f alone (ss_innovation_coeffs, i.e. every
     whitened-sde leapfrog) at ~2/3 of the full filter's op count."""
     n, d, _ = A.shape
+    if _soa_active(d):
+        P_f, _ = _ss_filter_cov_soa(A, Q, H, R, obs=obs)
+        return _soa_to_mat(P_f)
     dtype = A.dtype
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
     QH = (Q @ H[..., None])[..., 0]
@@ -646,6 +918,8 @@ def ss_loglik_parts(A, Q, H, y, R):
     state-space Laplace marginal (inference/laplace.py), which needs the
     quadratic form and the determinant separately."""
     n, d, _ = A.shape
+    if _soa_active(d):
+        return _ss_loglik_parts_soa(A, Q, H, y, R)
     dtype = A.dtype
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
     m_f, P_f = ss_filter(A, Q, H, y, R)
@@ -692,6 +966,9 @@ def ss_smooth(A, Q, H, y, R, obs=None):
         L_k = P_f_k − E_k (A_{k+1} P_f_k A_{k+1}ᵀ + Q_{k+1}) E_kᵀ
     composed by a REVERSE associative scan (m_s_k = E_k m_s_{k+1} + g_k)."""
     n, d, _ = A.shape
+    if _soa_active(d):
+        m_s, P_s = _ss_smooth_soa(A, Q, H, y, R, obs=obs)
+        return _soa_to_vec(m_s), _soa_to_mat(P_s)
     dtype = A.dtype
     m_f, P_f = ss_filter(A, Q, H, y, R, obs=obs)
     A1 = A[1:]                                             # transition k -> k+1
@@ -734,6 +1011,13 @@ def ss_innovation_coeffs(A, Q, H, jitter):
     non-Gaussian path of src/liklihoods.jl at state-space cost).
     Returns (gains K (n,d), innovation variances S (n,))."""
     n, d, _ = A.shape
+    if _soa_active(d):
+        P_f, (As, Qs, Hs, _) = _ss_filter_cov_soa(A, Q, H, jitter)
+        P_prev = _soa_shift(P_f)
+        P_pred = _soa_madd(_soa_mm(_soa_mm(As, P_prev), _soa_t(As)), Qs)
+        PH = _soa_mv(P_pred, Hs)
+        S = sum(Hs[i] * PH[i] for i in range(d)) + jitter
+        return _soa_to_vec(tuple(p / S for p in PH)), S
     dtype = A.dtype
     P_f = ss_filter_cov(A, Q, H, jitter)
     P_prev = jnp.concatenate([jnp.zeros((1, d, d), dtype), P_f[:-1]])

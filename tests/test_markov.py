@@ -1144,3 +1144,54 @@ def test_cli_predict_sde_window(tmp_path):
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(outs[1]["yQ050"], outs[0]["yQ050"],
                                rtol=1e-3, atol=5e-3)
+
+
+def test_soa_tiny_d_matches_dense_layout():
+    """The struct-of-arrays tiny-d path (d <= SOA_MAX_D: elements carried as
+    pytrees of (n,) arrays — zero TPU tile padding) must reproduce the dense
+    (n, d, d) layout path exactly: loglik + its lengthscale gradient, the
+    masked filter/covariance filter, the smoother, and the innovation
+    coefficients, across Matern32 (d=2), Matern52 (d=3), additive OU +
+    Matern32 (d=3) and Linear (d=2)."""
+    from gaplac_tpu.ops import markov_ss as ss
+
+    rng = np.random.default_rng(3)
+    n = 120
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(np.sin(np.asarray(t)) + rng.normal(0, 0.3, n))
+    obs = jnp.asarray(rng.uniform(size=n) > 0.2)
+    cases = [
+        ((ss.BLOCK_M32,), (0.8,)),
+        ((ss.BLOCK_M52,), (1.3,)),
+        ((ss.BLOCK_OU, ss.BLOCK_M32), (0.5, 1.1)),
+        ((ss.BLOCK_LINEAR,), (0.7,)),
+    ]
+    saved = (ss.SOA_MAX_D, ss.SOA_ON_CPU)
+    ss.SOA_ON_CPU = True  # the SoA layout is TPU-routed by default
+    try:
+        for kinds, params in cases:
+            xs = [t if k == ss.BLOCK_LINEAR else None for k in kinds]
+            A, Q, H = ss.build_steps(kinds, params, t, xs)
+            assert A.shape[-1] <= 4
+
+            def lp_of_l(l):
+                A_, Q_, H_ = ss.build_steps(
+                    kinds, (l,) + tuple(params[1:]), t, xs)
+                return ss.ss_loglik(A_, Q_, H_, y, 0.3)
+
+            outs = {}
+            for tag, maxd in [("soa", 4), ("dense", 0)]:
+                ss.SOA_MAX_D = maxd
+                outs[tag] = (
+                    ss.ss_loglik(A, Q, H, y, 0.3),
+                    jax.grad(lp_of_l)(params[0]),
+                    *ss.ss_filter(A, Q, H, y, 0.3, obs=obs),
+                    ss.ss_filter_cov(A, Q, H, 0.3, obs=obs),
+                    *ss.ss_smooth(A, Q, H, y, 0.3, obs=obs),
+                    *ss.ss_innovation_coeffs(A, Q, H, 1e-6),
+                )
+            for a, b in zip(outs["soa"], outs["dense"]):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-9, atol=1e-10)
+    finally:
+        ss.SOA_MAX_D, ss.SOA_ON_CPU = saved
