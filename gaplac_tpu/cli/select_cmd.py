@@ -161,7 +161,7 @@ def _markov_fixed_lp(args, ck, X, y) -> float:
     def lp(ts_, ys_, xs_, p_):
         A, Q, H = mss.build_steps(
             kinds, markov_param_vals(ck, st, p_, X.dtype), ts_, xs_,
-            resets=resets,
+            resets=resets, layout="auto",
         )
         return mss.ss_loglik(A, Q, H, ys_, j_eff)
 

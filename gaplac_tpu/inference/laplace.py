@@ -154,8 +154,11 @@ def build_laplace_marginal_markov(
             "aux": aux_s}
 
     def _steps(p, d):
+        # SoA-native tiny-d layout: the Newton-smoothing hot loop carries
+        # no (n, d, d) buffer (round-5 remat-copy OOM fix, ops/markov_ss)
         return mss.build_steps(kinds, markov_param_vals(ck, st, p, dtype),
-                               d["ts"], d["xs"], resets=d["resets"])
+                               d["ts"], d["xs"], resets=d["resets"],
+                               layout="auto")
 
     def _jeff(p):
         j = jnp.asarray(jitter, dtype)
@@ -167,7 +170,7 @@ def build_laplace_marginal_markov(
         """S T⁻¹ z for S = K_ss + j_eff·I, T = S + diag(Rw): smoothing at
         total noise j_eff + Rw plus the per-point jitter correction."""
         m_s, _ = mss.ss_smooth(A, Q, H, z, j_eff + Rw)
-        m_x = jnp.einsum("nd,nd->n", H, m_s)
+        m_x = mss.measure_row(H, m_s)
         return m_x + j_eff * (z - m_x) / (j_eff + Rw)
 
     def _fit(u, d):
@@ -209,7 +212,7 @@ def build_laplace_marginal_markov(
         # Matheron draw from N(f̂, (K_eff⁻¹ + W)⁻¹): f̂ + f* − S T⁻¹(f* + ε*)
         k1, k2, k3 = jax.random.split(key, 3)
         x_star = mss.ss_prior_sample(k1, A, Q)
-        f_star = (jnp.einsum("nd,nd->n", H, x_star)
+        f_star = (mss.measure_row(H, x_star)
                   + jnp.sqrt(j_eff) * jax.random.normal(k2, (n,), dtype))
         eps = jnp.sqrt(Rw) * jax.random.normal(k3, (n,), dtype)
         r = f_star + eps

@@ -644,9 +644,12 @@ def build_gaussian_marginal_markov(
             return markov.ou_prior_sample(key, d["ts"], p[ou_slot])
     else:
 
-        def _steps(p, d):
+        def _steps(p, d, layout="auto"):
+            # layout="auto": SoA-native tiny-d steps — no (n, d, d) buffer
+            # in the vg/SMC hot programs (the round-5 remat-copy OOM fix)
             return mss.build_steps(kinds, markov_param_vals(ck, st, p, dtype),
-                                   d["ts"], d["xs"], resets=d["resets"])
+                                   d["ts"], d["xs"], resets=d["resets"],
+                                   layout=layout)
 
         def latent_loglik(p, vals, R, d):
             A, Q, H = _steps(p, d)
@@ -655,10 +658,10 @@ def build_gaussian_marginal_markov(
         def smooth_mean(p, vals, R, d):
             A, Q, H = _steps(p, d)
             m_s, _ = mss.ss_smooth(A, Q, H, vals, R)
-            return jnp.einsum("nd,nd->n", H, m_s)
+            return mss.measure_row(H, m_s)
 
         def prior_path(key, p, d):
-            A, Q, H = _steps(p, d)
+            A, Q, H = _steps(p, d, layout="dense")
             return jnp.einsum("nd,nd->n", H, mss.ss_prior_sample(key, A, Q))
 
     def logdensity_data(u: jnp.ndarray, d) -> jnp.ndarray:

@@ -225,6 +225,42 @@ def _soa_to_vec(x):
     return jnp.stack(x, -1)
 
 
+def steps_are_soa(A) -> bool:
+    """True when a per-step model piece is in the SoA-native layout (a
+    tuple of (n,) leaves) produced by ``build_steps(layout='auto')``."""
+    return isinstance(A, tuple)
+
+
+def _steps_nd(A):
+    """(n, d) of a per-step transition in either layout."""
+    if isinstance(A, tuple):
+        return A[0][0].shape[-1], len(A)
+    return A.shape[-3], A.shape[-1]
+
+
+def _steps_dtype(A):
+    return A[0][0].dtype if isinstance(A, tuple) else A.dtype
+
+
+def densify_steps(A, Q, H):
+    """Convert SoA-native steps back to dense (n,d,d)/(n,d) arrays (no-op on
+    dense input).  For consumers whose math is dense (eigendecompositions,
+    windowed slicing) — NOT for the filter/smoother/loglik scans, which
+    consume the SoA form directly and must never materialize the padded
+    dense buffers (the measured 64x TPU tile expansion at d = 2-3)."""
+    if isinstance(A, tuple):
+        return _soa_to_mat(A), _soa_to_mat(Q), _soa_to_vec(H)
+    return A, Q, H
+
+
+def measure_row(H, m):
+    """Per-step measurement H_k·m_k -> (n,) for dense H (n, d) or SoA H
+    (length-d tuple of (n,) leaves), with m dense (n, d)."""
+    if isinstance(H, tuple):
+        return sum(h * m[..., i] for i, h in enumerate(H))
+    return jnp.einsum("nd,nd->n", H, m)
+
+
 def _soa_eye_plus(M):
     return tuple(
         tuple(M[i][j] + 1.0 if i == j else M[i][j] for j in range(len(M)))
@@ -343,16 +379,28 @@ def _scombine_soa(a, b):
 
 
 def _soa_filter_elems(A, Q, H, y, R, obs, with_mean=True):
-    """SoA filtering elements from dense per-step (A, Q, H).  The dense
-    inputs are consumed via (n,)-slices, so XLA fuses the slice into each
-    element expression and the padded (n, d, d) form never round-trips
-    through the scan."""
-    n, d, _ = A.shape
-    dtype = A.dtype
+    """SoA filtering elements from per-step (A, Q, H) in either layout.
+
+    SoA-native input (from ``build_steps(layout='auto')``) is used as-is —
+    no (n, d, d) array exists anywhere in the trace.  Dense input is
+    consumed via (n,)-slices, so XLA fuses the slice into each element
+    expression and the padded form does not round-trip through the scan —
+    but the dense CONSTRUCTION buffers still exist upstream and XLA's
+    remat-with-compression pass can materialize padded copies of them (the
+    measured 8 GB/64x bf16 copies at (128, 2^17, 2, 2) — see
+    benchmarks/results_v5e.txt round-5); prefer SoA-native steps at scale."""
+    if isinstance(A, tuple):
+        d = len(A)
+        n = A[0][0].shape[-1]
+        dtype = A[0][0].dtype
+        As, Qs, Hs = A, Q, H
+    else:
+        n, d, _ = A.shape
+        dtype = A.dtype
+        As = _soa_mat(A, d)
+        Qs = _soa_mat(Q, d)
+        Hs = _soa_vec(H, d)
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
-    As = _soa_mat(A, d)
-    Qs = _soa_mat(Q, d)
-    Hs = _soa_vec(H, d)
     QH = _soa_mv(Qs, Hs)
     S = sum(Hs[i] * QH[i] for i in range(d)) + Rv
     w = (jnp.ones((n,), dtype) if obs is None else jnp.asarray(obs, dtype))
@@ -404,8 +452,8 @@ def _ss_filter_cov_soa(A, Q, H, R, obs=None):
 
 def _ss_smooth_soa(A, Q, H, y, R, obs=None):
     """SoA parallel RTS smoother — ``ss_smooth`` with 1-D scan storage."""
-    n, d, _ = A.shape
-    dtype = A.dtype
+    n, d = _steps_nd(A)
+    dtype = _steps_dtype(A)
     m_f, P_f, (As, Qs, Hs, Rv) = _ss_filter_soa(A, Q, H, y, R, obs=obs)
     head = lambda x: jax.tree_util.tree_map(lambda v: v[:-1], x)
     tail = lambda x: jax.tree_util.tree_map(lambda v: v[1:], x)
@@ -796,17 +844,121 @@ def _block_APH(kind: int, dt: jnp.ndarray, param, x: jnp.ndarray):
     raise ValueError(f"unknown block kind {kind}")
 
 
+#: block kinds with a SoA-native emitter (every exact block of dim <= 3;
+#: SqExp/Periodic/RQ/products exceed SOA_MAX_D and keep the dense build)
+_SOA_BLOCK_KINDS = frozenset(
+    {BLOCK_OU, BLOCK_M32, BLOCK_M52, BLOCK_CONST, BLOCK_LINEAR})
+
+
+def _block_APH_soa(kind: int, dt: jnp.ndarray, param, x, dtype):
+    """``_block_APH`` emitted directly as SoA leaves: (A rows, P∞ rows, H)
+    as tuples of (n,) arrays.  No (n, d, d) array is ever constructed, so
+    nothing exists for XLA's remat-with-compression pass to materialize in
+    the 64x-padded tiled layout (the round-5 OOM root cause,
+    benchmarks/results_v5e.txt).  Same math as the dense emitters above."""
+    n = dt.shape[0]
+    one = jnp.ones((n,), dtype)
+    zero = jnp.zeros((n,), dtype)
+    bb = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (n,))
+    if kind == BLOCK_OU:
+        return ((jnp.exp(-dt / param),),), ((one,),), (one,)
+    if kind == BLOCK_M32:
+        lam = 3.0 ** 0.5 / param
+        e = jnp.exp(-lam * dt)
+        A = ((e * (1.0 + lam * dt), e * dt),
+             (-e * (lam * lam) * dt, e * (1.0 - lam * dt)))
+        P = ((one, zero), (zero, bb(lam * lam)))
+        return A, P, (one, zero)
+    if kind == BLOCK_M52:
+        lam = 5.0 ** 0.5 / param
+        l2 = lam * lam
+        e = jnp.exp(-lam * dt)
+        # N = F + λI (N³ = 0): A = e^{-λΔ}(I + NΔ + N²Δ²/2), with the 3x3
+        # scalar entries of N and N² expanded symbolically
+        N = ((lam, 1.0, 0.0), (0.0, lam, 1.0), (-lam * l2, -3.0 * l2, -2.0 * lam))
+        N2 = tuple(tuple(sum(N[i][k] * N[k][j] for k in range(3))
+                         for j in range(3)) for i in range(3))
+        h2 = 0.5 * dt * dt
+        A = tuple(tuple(
+            e * ((1.0 if i == j else 0.0) + N[i][j] * dt + N2[i][j] * h2)
+            for j in range(3)) for i in range(3))
+        P = ((one, zero, bb(-l2 / 3.0)),
+             (zero, bb(l2 / 3.0), zero),
+             (bb(-l2 / 3.0), zero, bb(l2 * l2)))
+        return A, P, (one, zero, zero)
+    if kind == BLOCK_CONST:
+        c = jnp.maximum(jnp.asarray(param, dtype).reshape(()), 1e-12)
+        return ((one,),), ((bb(c),),), (one,)
+    if kind == BLOCK_LINEAR:
+        c = jnp.maximum(jnp.asarray(param, dtype).reshape(()), 1e-12)
+        A = ((one, zero), (zero, one))
+        P = ((one, zero), (zero, bb(c)))
+        return A, P, (jnp.asarray(x, dtype), one)
+    raise ValueError(f"no SoA emitter for block kind {kind}")
+
+
+def _build_steps_soa(kinds, params, dt, xs, resets, dtype):
+    """Block-diagonal (A, Q, H) assembled entirely in SoA leaves — the
+    tiny-d build that never materializes an (n, d, d) array.  Mirrors the
+    dense tail of ``build_steps`` exactly: Q = P∞ − A P∞ Aᵀ, per-block
+    resets zero the transition, step 0 uses A = 0 / Q = P∞."""
+    n = dt.shape[0]
+    zero = jnp.zeros((n,), dtype)
+    blocks = []
+    for kind, p, x, rs in zip(kinds, params, xs, resets):
+        if rs is None:
+            Ab, Pb, Hb = _block_APH_soa(kind, dt, p, x, dtype)
+        else:
+            rs = jnp.asarray(rs)
+            keep = 1.0 - rs.astype(dtype)
+            Ab, Pb, Hb = _block_APH_soa(
+                kind, jnp.where(rs, 0.0, dt), p, x, dtype)
+            Ab = tuple(tuple(a * keep for a in row) for row in Ab)
+        blocks.append((Ab, Pb, Hb))
+    d = sum(len(b[0]) for b in blocks)
+    A = [[zero] * d for _ in range(d)]
+    P = [[zero] * d for _ in range(d)]
+    Hs = []
+    off = 0
+    for Ab, Pb, Hb in blocks:
+        db = len(Ab)
+        for i in range(db):
+            for j in range(db):
+                A[off + i][off + j] = Ab[i][j]
+                P[off + i][off + j] = Pb[i][j]
+        Hs.extend(Hb)
+        off += db
+    A = tuple(tuple(r) for r in A)
+    P = tuple(tuple(r) for r in P)
+    S = _soa_mm(_soa_mm(A, P), _soa_t(A))
+    Q = tuple(tuple(P[i][j] - S[i][j] for j in range(d)) for i in range(d))
+    z1 = jnp.zeros((1,), dtype)
+    A = tuple(tuple(jnp.concatenate([z1, a[1:]]) for a in row) for row in A)
+    Q = tuple(tuple(jnp.concatenate([p0[:1], q[1:]])
+                    for p0, q in zip(prow, qrow))
+              for prow, qrow in zip(P, Q))
+    return A, Q, tuple(Hs)
+
+
 def build_steps(
     kinds: Sequence[int],
     params: Sequence,
     t: jnp.ndarray,
     xs: Sequence,
     resets: Sequence = None,
+    layout: str = "dense",
 ):
     """Assemble block-diagonal per-step (A, Q, H) for the additive model on
     SORTED t.  ``params`` per leaf (lengthscale / variance), ``xs`` per leaf
     data column (only used by Linear; pass None otherwise).  Step 0's A is
     zeroed and its Q set to P∞ (the stationary prior).
+
+    ``layout="auto"`` returns SoA-native steps (tuples of (n,) leaves) when
+    the total state dim is <= SOA_MAX_D on an accelerator and every block
+    has a SoA emitter — the form the filter/smoother/loglik consume with
+    zero (n, d, d) buffers anywhere in the trace (the round-5 remat-copy
+    OOM fix).  The default "dense" always returns (n,d,d)/(n,d) arrays;
+    ``densify_steps`` converts.
 
     ``resets`` (per block: None or bool (n,)) implements kernel × Cat
     grouping (k(t,t')·1[g==g']): at a True row the block's transition is
@@ -824,6 +976,14 @@ def build_steps(
     )
     if resets is None:
         resets = (None,) * len(kinds)
+    if (layout == "auto"
+            and all(not isinstance(k, tuple) and k in _SOA_BLOCK_KINDS
+                    for k in kinds)
+            and _soa_active(sum(block_dim(k) for k in kinds))):
+        # SoA-native build: callers on the loglik/filter/smoother paths opt
+        # in with layout="auto"; consumers that need dense math call
+        # densify_steps (or keep the default dense layout)
+        return _build_steps_soa(kinds, params, dt, xs, resets, dtype)
     As, Ps, Hs = [], [], []
     for kind, p, x, rs in zip(kinds, params, xs, resets):
         if rs is None:
@@ -855,9 +1015,10 @@ def build_steps(
 def ss_filter(A, Q, H, y, R, obs=None):
     """Parallel Kalman filter: filtered means (n,d) and covariances (n,d,d)
     for x_k = A_k x_{k-1} + N(0, Q_k), y_k = H_k·x_k + N(0, R_k).  ``obs``
-    (bool (n,)) masks out unobserved points (they contribute no update)."""
-    n, d, _ = A.shape
-    if _soa_active(d):
+    (bool (n,)) masks out unobserved points (they contribute no update).
+    Accepts SoA-native steps from ``build_steps(layout='auto')``."""
+    n, d = _steps_nd(A)
+    if steps_are_soa(A) or _soa_active(d):
         m_f, P_f, _ = _ss_filter_soa(A, Q, H, y, R, obs=obs)
         return _soa_to_vec(m_f), _soa_to_mat(P_f)
     dtype = A.dtype
@@ -888,8 +1049,8 @@ def ss_filter_cov(A, Q, H, R, obs=None):
     covariances never depend on the observations, so this serves any
     caller that needs P_f alone (ss_innovation_coeffs, i.e. every
     whitened-sde leapfrog) at ~2/3 of the full filter's op count."""
-    n, d, _ = A.shape
-    if _soa_active(d):
+    n, d = _steps_nd(A)
+    if steps_are_soa(A) or _soa_active(d):
         P_f, _ = _ss_filter_cov_soa(A, Q, H, R, obs=obs)
         return _soa_to_mat(P_f)
     dtype = A.dtype
@@ -917,8 +1078,8 @@ def ss_loglik_parts(A, Q, H, y, R):
     logdet = log|K+diag(R)| = Σ log Sᵢ.  Powers both ``ss_loglik`` and the
     state-space Laplace marginal (inference/laplace.py), which needs the
     quadratic form and the determinant separately."""
-    n, d, _ = A.shape
-    if _soa_active(d):
+    n, d = _steps_nd(A)
+    if steps_are_soa(A) or _soa_active(d):
         return _ss_loglik_parts_soa(A, Q, H, y, R)
     dtype = A.dtype
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
@@ -936,7 +1097,7 @@ def ss_loglik_parts(A, Q, H, y, R):
 def ss_loglik(A, Q, H, y, R):
     """log N(y; 0, K + diag(R)) by prediction-error decomposition — the
     matrix-state generalization of markov.ou_loglik."""
-    n = A.shape[0]
+    n = _steps_nd(A)[0]
     quad, logdet = ss_loglik_parts(A, Q, H, y, R)
     return -0.5 * (quad + logdet + n * _LOG_2PI)
 
@@ -965,8 +1126,8 @@ def ss_smooth(A, Q, H, y, R, obs=None):
         g_k = m_f_k − E_k A_{k+1} m_f_k
         L_k = P_f_k − E_k (A_{k+1} P_f_k A_{k+1}ᵀ + Q_{k+1}) E_kᵀ
     composed by a REVERSE associative scan (m_s_k = E_k m_s_{k+1} + g_k)."""
-    n, d, _ = A.shape
-    if _soa_active(d):
+    n, d = _steps_nd(A)
+    if steps_are_soa(A) or _soa_active(d):
         m_s, P_s = _ss_smooth_soa(A, Q, H, y, R, obs=obs)
         return _soa_to_vec(m_s), _soa_to_mat(P_s)
     dtype = A.dtype
@@ -1010,8 +1171,8 @@ def ss_innovation_coeffs(A, Q, H, jitter):
     ``build_latent_whitened_markov`` (reference parity: the whitened
     non-Gaussian path of src/liklihoods.jl at state-space cost).
     Returns (gains K (n,d), innovation variances S (n,))."""
-    n, d, _ = A.shape
-    if _soa_active(d):
+    n, d = _steps_nd(A)
+    if steps_are_soa(A) or _soa_active(d):
         P_f, (As, Qs, Hs, _) = _ss_filter_cov_soa(A, Q, H, jitter)
         P_prev = _soa_shift(P_f)
         P_pred = _soa_madd(_soa_mm(_soa_mm(As, P_prev), _soa_t(As)), Qs)
@@ -1040,6 +1201,8 @@ def _affine_scan(M, b):
 def ss_whiten_apply(A, H, Kg, S, z):
     """f = L z through the innovation recurrence (see ss_innovation_coeffs):
     O(n log n), differentiable in everything."""
+    if steps_are_soa(A):
+        A, H = _soa_to_mat(A), _soa_to_vec(H)
     n, d, _ = A.shape
     sqrtS = jnp.sqrt(S)
     xhat = _affine_scan(A, Kg * (sqrtS * z)[:, None])
@@ -1053,6 +1216,8 @@ def ss_unwhiten(A, H, Kg, S, f):
     measurement into the filter mean update gives
     x̂_k = (A_k − K_k Hᵀ A_k) x̂_{k-1} + K_k f_k, then
     z_k = (f_k − HᵀA x̂_{k-1}) / √S_k."""
+    if steps_are_soa(A):
+        A, H = _soa_to_mat(A), _soa_to_vec(H)
     n, d, _ = A.shape
     HA = jnp.einsum("nd,nde->ne", H, A)
     M = A - Kg[:, :, None] * HA[:, None, :]
@@ -1082,6 +1247,10 @@ def ss_prior_sample(key, A, Q):
     associative scan.  Q's square root is the clamped-eigh ``psd_sqrt`` —
     Q may be singular (static blocks) or indefinite-by-roundoff (SqExp
     blocks at tiny steps)."""
+    if steps_are_soa(A):
+        # prior sampling is a once-per-report path, not the vg hot loop:
+        # densifying here is fine (psd_sqrt needs dense (n, d, d) eigh)
+        A, Q = _soa_to_mat(A), _soa_to_mat(Q)
     n, d, _ = A.shape
     Lq = psd_sqrt(Q)
     z = jax.random.normal(key, (n, d), A.dtype)

@@ -1195,3 +1195,83 @@ def test_soa_tiny_d_matches_dense_layout():
                                            rtol=1e-9, atol=1e-10)
     finally:
         ss.SOA_MAX_D, ss.SOA_ON_CPU = saved
+
+
+def test_build_steps_soa_native_parity():
+    """``build_steps(layout='auto')`` emits the per-step model natively as
+    SoA leaves — no (n, d, d) array anywhere in the trace (the round-5 fix
+    for XLA's remat-with-compression pass materializing 64x-tile-padded
+    copies of the dense construction buffers; benchmarks/results_v5e.txt).
+    It must match the dense build exactly: the returned model (via
+    densify_steps), loglik + gradient (incl. under vmap, the SMC shape),
+    the smoother, resets, and the SoA-input guards on the dense-math
+    consumers (prior sample, innovation coefficients, whitening)."""
+    from gaplac_tpu.ops import markov_ss as ss
+
+    rng = np.random.default_rng(11)
+    n = 150
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(np.sin(np.asarray(t)) + rng.normal(0, 0.3, n))
+    rs = np.zeros(n, bool)
+    rs[50] = rs[100] = True
+    cases = [
+        ((ss.BLOCK_M32,), (0.8,), None),
+        ((ss.BLOCK_M52,), (1.3,), None),
+        ((ss.BLOCK_OU, ss.BLOCK_M32), (0.5, 1.1), None),
+        ((ss.BLOCK_LINEAR, ss.BLOCK_CONST), (0.7, 0.9), None),
+        ((ss.BLOCK_M32,), (0.8,), (jnp.asarray(rs),)),
+    ]
+    saved = (ss.SOA_MAX_D, ss.SOA_ON_CPU)
+    ss.SOA_ON_CPU = True  # SoA is accelerator-routed by default
+    try:
+        for kinds, params, resets in cases:
+            xs = [t if k == ss.BLOCK_LINEAR else None for k in kinds]
+            Ad, Qd, Hd = ss.build_steps(kinds, params, t, xs, resets=resets)
+            As, Qs, Hs = ss.build_steps(kinds, params, t, xs, resets=resets,
+                                        layout="auto")
+            assert ss.steps_are_soa(As) and not ss.steps_are_soa(Ad)
+            for a, b in zip((Ad, Qd, Hd), ss.densify_steps(As, Qs, Hs)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0, atol=1e-12)
+
+            def lp(l, layout):
+                A_, Q_, H_ = ss.build_steps(
+                    kinds, (l,) + tuple(params[1:]), t, xs, resets=resets,
+                    layout=layout)
+                return ss.ss_loglik(A_, Q_, H_, y, 0.1)
+
+            np.testing.assert_allclose(float(lp(params[0], "dense")),
+                                       float(lp(params[0], "auto")),
+                                       rtol=1e-11)
+            gd = float(jax.grad(lambda l: lp(l, "dense"))(params[0]))
+            gs = float(jax.grad(lambda l: lp(l, "auto"))(params[0]))
+            np.testing.assert_allclose(gd, gs, rtol=1e-8)
+            # vmap over the hyperparameter — the SMC/chain-batch shape
+            ls = jnp.asarray([0.5, 0.9, 1.7])
+            np.testing.assert_allclose(
+                np.asarray(jax.vmap(lambda l: lp(l, "dense"))(ls)),
+                np.asarray(jax.vmap(lambda l: lp(l, "auto"))(ls)),
+                rtol=1e-11)
+            # smoother parity on SoA-native input
+            md, Pd = ss.ss_smooth(Ad, Qd, Hd, y, 0.1)
+            m2, P2 = ss.ss_smooth(As, Qs, Hs, y, 0.1)
+            np.testing.assert_allclose(np.asarray(md), np.asarray(m2),
+                                       rtol=1e-9, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(Pd), np.asarray(P2),
+                                       rtol=1e-9, atol=1e-10)
+            # dense-math consumers accept SoA input via the densify guards
+            np.testing.assert_allclose(
+                np.asarray(ss.ss_prior_sample(jax.random.key(0), As, Qs)),
+                np.asarray(ss.ss_prior_sample(jax.random.key(0), Ad, Qd)),
+                rtol=1e-9, atol=1e-12)
+            Kg, S = ss.ss_innovation_coeffs(As, Qs, Hs, 1e-4)
+            Kg2, S2 = ss.ss_innovation_coeffs(Ad, Qd, Hd, 1e-4)
+            np.testing.assert_allclose(np.asarray(S), np.asarray(S2),
+                                       rtol=1e-9)
+            z = jnp.asarray(rng.standard_normal(n))
+            np.testing.assert_allclose(
+                np.asarray(ss.ss_whiten_apply(As, Hs, Kg, S, z)),
+                np.asarray(ss.ss_whiten_apply(Ad, Hd, Kg2, S2, z)),
+                rtol=1e-9, atol=1e-10)
+    finally:
+        ss.SOA_MAX_D, ss.SOA_ON_CPU = saved
