@@ -276,6 +276,12 @@ def _add_sde_flags(sub) -> None:
     sub.add_argument("--sde-rq-nodes", type=int, default=None, metavar="K",
                      help="RQ block Gamma-mixture nodes under --approx sde "
                      "(state dim 6K; default 8)")
+    sub.add_argument("--sde-soa-max-d", type=int, default=None, metavar="D",
+                     help="max total state dim routed through the "
+                     "struct-of-arrays scan layout under --approx sde "
+                     "(no TPU tile padding; default 4, 0 disables). Every "
+                     "block kind has a SoA emitter; the combine traces "
+                     "O(d^3) vector ops, so ~8 is the sane ceiling")
 
 
 def _add_outlier_flags(sub) -> None:
@@ -311,13 +317,17 @@ def main(argv=None) -> int:
     maybe_initialize()
 
     # sde structure knobs must be set before ANY structure extraction
-    if getattr(args, "sde_harmonics", None) or getattr(args, "sde_rq_nodes", None):
+    if (getattr(args, "sde_harmonics", None)
+            or getattr(args, "sde_rq_nodes", None)
+            or getattr(args, "sde_soa_max_d", None) is not None):
         from gaplac_tpu.ops import markov_ss
 
         if getattr(args, "sde_harmonics", None):
             markov_ss.set_periodic_harmonics(args.sde_harmonics)
         if getattr(args, "sde_rq_nodes", None):
             markov_ss.set_rq_nodes(args.sde_rq_nodes)
+        if getattr(args, "sde_soa_max_d", None) is not None:
+            markov_ss.SOA_MAX_D = max(0, int(args.sde_soa_max_d))
 
     if args.command == "sample":
         from gaplac_tpu.cli.sample_cmd import run

@@ -184,10 +184,12 @@ def _ccombine(e1: _CElems, e2: _CElems) -> _CElems:
 # zero tile padding in the scan storage AND in autodiff's per-level
 # residuals (where the memory multiplier actually bites).  The combine
 # algebra is identical to _mcombine/_ccombine/_scombine; the d**3 products
-# unroll into elementwise (n,)-array ops that XLA fuses.  Covers the
-# Matern32 (d=2) / Matern52 (d=3) / Linear (d=2) workhorse formulas and
-# additive sums up to SOA_MAX_D; bigger states (SqExp 6, Periodic 21,
-# products) keep the dense layout, whose padding is mild at d >= 6.
+# unroll into elementwise (n,)-array ops that XLA fuses.  EVERY block kind
+# has a SoA-native emitter (_block_APH_soa — the SqExp/Periodic transitions
+# are damped/pure rotations over static modal constants, and Kronecker
+# products compose entrywise), so the only routing criterion is the total
+# state dim gate below: the unrolled combine traces O(d^3) vector ops per
+# element, which is the practical ceiling, not emitter coverage.
 
 #: max TOTAL state dim routed through the SoA path (env
 #: GAPLAC_SDE_SOA_MAX_D; 0 disables — used by the parity tests).  Default 4:
@@ -844,10 +846,38 @@ def _block_APH(kind: int, dt: jnp.ndarray, param, x: jnp.ndarray):
     raise ValueError(f"unknown block kind {kind}")
 
 
-#: block kinds with a SoA-native emitter (every exact block of dim <= 3;
-#: SqExp/Periodic/RQ/products exceed SOA_MAX_D and keep the dense build)
+#: block kinds with a SoA-native emitter.  Every kernel block is
+#: symbolically expressible (the SqExp/Periodic transitions are damped /
+#: pure rotations over static modal constants), so all kinds — including
+#: Kronecker products of them — can emit SoA leaves; whether a given model
+#: actually routes SoA is still gated by total state dim (SOA_MAX_D) in
+#: ``build_steps``.  The trace emits O(d³) vector ops per combine, so the
+#: layout is for small d (the default gate is 4; ≲8 is the sane ceiling —
+#: a d=21 Periodic would trace ~10⁴ ops per combine expression).
 _SOA_BLOCK_KINDS = frozenset(
-    {BLOCK_OU, BLOCK_M32, BLOCK_M52, BLOCK_CONST, BLOCK_LINEAR})
+    {BLOCK_OU, BLOCK_M32, BLOCK_M52, BLOCK_CONST, BLOCK_LINEAR,
+     BLOCK_SQEXP, BLOCK_PERIODIC, BLOCK_RQ})
+
+
+def _soa_emitter_ok(kind) -> bool:
+    """True when ``kind`` (int block kind or tuple Kronecker product) has a
+    SoA-native emitter for every factor."""
+    if isinstance(kind, tuple):
+        return all(_soa_emitter_ok(k) for k in kind)
+    return kind in _SOA_BLOCK_KINDS
+
+
+def _soa_kron_mat(A, B):
+    """SoA Kronecker product — entry (i1·db+i2, j1·db+j2) = A[i1][j1]·B[i2][j2],
+    matching the dense ``_kron_mat`` index order."""
+    da, db = len(A), len(B)
+    return tuple(tuple(A[i1][j1] * B[i2][j2]
+                       for j1 in range(da) for j2 in range(db))
+                 for i1 in range(da) for i2 in range(db))
+
+
+def _soa_kron_vec(u, v):
+    return tuple(x * y for x in u for y in v)
 
 
 def _block_APH_soa(kind: int, dt: jnp.ndarray, param, x, dtype):
@@ -860,6 +890,17 @@ def _block_APH_soa(kind: int, dt: jnp.ndarray, param, x, dtype):
     one = jnp.ones((n,), dtype)
     zero = jnp.zeros((n,), dtype)
     bb = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (n,))
+    if isinstance(kind, tuple):
+        # Kronecker product block (kernel multiplication), SoA end-to-end
+        A = P = H = None
+        for k, pr, xk in zip(kind, param, x):
+            Ak, Pk, Hk = _block_APH_soa(k, dt, pr, xk, dtype)
+            if A is None:
+                A, P, H = Ak, Pk, Hk
+            else:
+                A, P, H = (_soa_kron_mat(A, Ak), _soa_kron_mat(P, Pk),
+                           _soa_kron_vec(H, Hk))
+        return A, P, H
     if kind == BLOCK_OU:
         return ((jnp.exp(-dt / param),),), ((one,),), (one,)
     if kind == BLOCK_M32:
@@ -889,6 +930,86 @@ def _block_APH_soa(kind: int, dt: jnp.ndarray, param, x, dtype):
     if kind == BLOCK_CONST:
         c = jnp.maximum(jnp.asarray(param, dtype).reshape(()), 1e-12)
         return ((one,),), ((bb(c),),), (one,)
+    if kind == BLOCK_SQEXP:
+        # order-N spectral-Taylor SE modal block: damped rotations in the
+        # step phase τ = Δt/l over static (l-independent) modal constants —
+        # the dense emitter's .at[] scatter writes become direct leaves
+        modes, Pz, h = _sqexp_constants_cached()
+        N = h.shape[0]
+        tau = dt / param
+        rows = [[zero] * N for _ in range(N)]
+        off = 0
+        for al, be in modes:
+            e = jnp.exp(al * tau)
+            if be is None:
+                rows[off][off] = e
+                off += 1
+            else:
+                c, s = jnp.cos(be * tau), jnp.sin(be * tau)
+                rows[off][off] = e * c
+                rows[off][off + 1] = e * s
+                rows[off + 1][off] = -e * s
+                rows[off + 1][off + 1] = e * c
+                off += 2
+        A = tuple(tuple(r) for r in rows)
+        P = tuple(tuple(bb(float(Pz[i, j])) for j in range(N))
+                  for i in range(N))
+        return A, P, tuple(bb(float(h[i])) for i in range(N))
+    if kind == BLOCK_PERIODIC:
+        # J-harmonic random-Fourier-series SSM: constant j=0 state plus J
+        # deterministic 2-d rotations; q²_j(l) via the same midpoint
+        # quadrature as the dense emitter
+        l, period = param
+        J = PERIODIC_J
+        M = _PERIODIC_QUAD_M
+        theta = (jnp.arange(M, dtype=dtype) + 0.5) * (math.pi / M)
+        xq = 1.0 / (l * l)
+        wgt = jnp.exp(xq * (jnp.cos(theta) - 1.0))
+        js = jnp.arange(J + 1, dtype=dtype)
+        cos_tab = jnp.cos(js[:, None] * theta[None, :])
+        q2 = (cos_tab @ wgt) * (1.0 / M) * jnp.where(js == 0, 1.0, 2.0)
+        dtot = 2 * J + 1
+        Ar = [[zero] * dtot for _ in range(dtot)]
+        Pr = [[zero] * dtot for _ in range(dtot)]
+        Ar[0][0] = one
+        Pr[0][0] = bb(q2[0])
+        Hs = [one] + [zero] * (dtot - 1)
+        w0 = 2.0 * math.pi / period
+        for j in range(1, J + 1):
+            ang = j * w0 * dt
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            o = 2 * j - 1
+            Ar[o][o] = c
+            Ar[o][o + 1] = s
+            Ar[o + 1][o] = -s
+            Ar[o + 1][o + 1] = c
+            Pr[o][o] = bb(q2[j])
+            Pr[o + 1][o + 1] = bb(q2[j])
+            Hs[o] = one
+        return (tuple(tuple(r) for r in Ar), tuple(tuple(r) for r in Pr),
+                tuple(Hs))
+    if kind == BLOCK_RQ:
+        # Gamma-mixture of SqExp sub-blocks at lengthscales l·c_k,
+        # measurement scaled √w_k — block-diagonal assembly in SoA leaves
+        l, c, w = param
+        K = c.shape[0]
+        dse = SQEXP_ORDER
+        d = K * dse
+        Ar = [[zero] * d for _ in range(d)]
+        Pr = [[zero] * d for _ in range(d)]
+        Hs = []
+        for k in range(K):
+            Ak, Pk, Hk = _block_APH_soa(BLOCK_SQEXP, dt, l * c[k], None,
+                                        dtype)
+            o = k * dse
+            for i in range(dse):
+                for j in range(dse):
+                    Ar[o + i][o + j] = Ak[i][j]
+                    Pr[o + i][o + j] = Pk[i][j]
+            sw = jnp.sqrt(jnp.asarray(w[k], dtype))
+            Hs.extend(sw * hk for hk in Hk)
+        return (tuple(tuple(r) for r in Ar), tuple(tuple(r) for r in Pr),
+                tuple(Hs))
     if kind == BLOCK_LINEAR:
         c = jnp.maximum(jnp.asarray(param, dtype).reshape(()), 1e-12)
         A = ((one, zero), (zero, one))
@@ -977,8 +1098,7 @@ def build_steps(
     if resets is None:
         resets = (None,) * len(kinds)
     if (layout == "auto"
-            and all(not isinstance(k, tuple) and k in _SOA_BLOCK_KINDS
-                    for k in kinds)
+            and all(_soa_emitter_ok(k) for k in kinds)
             and _soa_active(sum(block_dim(k) for k in kinds))):
         # SoA-native build: callers on the loglik/filter/smoother paths opt
         # in with layout="auto"; consumers that need dense math call

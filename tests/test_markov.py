@@ -1275,3 +1275,62 @@ def test_build_steps_soa_native_parity():
                 rtol=1e-9, atol=1e-10)
     finally:
         ss.SOA_MAX_D, ss.SOA_ON_CPU = saved
+
+
+def test_build_steps_soa_native_extended_blocks():
+    """SoA-native emitters for the approximate/large blocks — SqExp (d=6),
+    Periodic (J=2 → d=5), RQ (K=1 → d=6), and Kronecker product kinds —
+    match the dense build exactly: model arrays (via densify_steps), loglik
+    and its gradient.  With every block kind symbolically expressible
+    (SqExp/Periodic transitions are damped/pure rotations over static modal
+    constants), the total-state-dim gate (SOA_MAX_D), not emitter coverage,
+    is the only SoA routing criterion."""
+    from gaplac_tpu.ops import markov_ss as ss
+
+    rng = np.random.default_rng(7)
+    n = 120
+    t = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    y = jnp.asarray(np.sin(np.asarray(t)) + rng.normal(0, 0.3, n))
+    saved = (ss.SOA_MAX_D, ss.SOA_ON_CPU, ss.PERIODIC_J, ss.RQ_MIX_K)
+    ss.SOA_ON_CPU = True  # SoA is accelerator-routed by default
+    ss.SOA_MAX_D = 8
+    try:
+        ss.set_periodic_harmonics(2)   # d = 2J+1 = 5
+        ss.set_rq_nodes(1)             # d = SQEXP_ORDER = 6
+        cw = ss.rq_mixture_constants(1.5, 1)
+        cases = [
+            ((ss.BLOCK_SQEXP,), (0.9,), [None]),
+            ((ss.BLOCK_PERIODIC,), ((0.8, 3.0),), [None]),
+            ((ss.BLOCK_RQ,), ((0.9,) + tuple(cw),), [None]),
+            (((ss.BLOCK_OU, ss.BLOCK_M32),), ((0.5, 1.1),), [(None, None)]),
+            ((ss.BLOCK_OU, ss.BLOCK_CONST), (0.5, 0.9), [None, None]),
+        ]
+        for kinds, params, xs in cases:
+            Ad, Qd, Hd = ss.build_steps(kinds, params, t, xs)
+            As, Qs, Hs = ss.build_steps(kinds, params, t, xs, layout="auto")
+            assert ss.steps_are_soa(As) and not ss.steps_are_soa(Ad)
+            for a, b in zip((Ad, Qd, Hd), ss.densify_steps(As, Qs, Hs)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0, atol=1e-11)
+            np.testing.assert_allclose(
+                float(ss.ss_loglik(Ad, Qd, Hd, y, 0.1)),
+                float(ss.ss_loglik(As, Qs, Hs, y, 0.1)), rtol=1e-11)
+
+        # gradient parity through the emitters with a dynamic lengthscale
+        def lp(l, layout, kinds, mk, xs):
+            A_, Q_, H_ = ss.build_steps(kinds, mk(l), t, xs, layout=layout)
+            return ss.ss_loglik(A_, Q_, H_, y, 0.1)
+
+        grad_cases = [
+            ((ss.BLOCK_SQEXP,), lambda l: (l,), [None]),
+            ((ss.BLOCK_PERIODIC,), lambda l: ((l, 3.0),), [None]),
+            ((ss.BLOCK_RQ,), lambda l: ((l,) + tuple(cw),), [None]),
+            (((ss.BLOCK_OU, ss.BLOCK_M32),), lambda l: ((l, 1.1),),
+             [(None, None)]),
+        ]
+        for kinds, mk, xs in grad_cases:
+            gd = float(jax.grad(lambda l: lp(l, "dense", kinds, mk, xs))(0.9))
+            gs = float(jax.grad(lambda l: lp(l, "auto", kinds, mk, xs))(0.9))
+            np.testing.assert_allclose(gd, gs, rtol=1e-8)
+    finally:
+        (ss.SOA_MAX_D, ss.SOA_ON_CPU, ss.PERIODIC_J, ss.RQ_MIX_K) = saved
