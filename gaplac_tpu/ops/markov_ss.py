@@ -210,6 +210,28 @@ def _soa_active(d: int) -> bool:
     return SOA_ON_CPU or jax.default_backend() != "cpu"
 
 
+#: max TOTAL state dim routed through the DIMS-TO-FRONT (d, d, n) layout
+#: for SOA_MAX_D < d <= DTF_MAX_D (env GAPLAC_SDE_DTF_MAX_D; 0 disables).
+#: Mid-d states in the (n, d, d) layout still pay TPU tile padding —
+#: measured 17x on the d=22 augmented-solve remat temps, 8/d on the
+#: elements — while the SoA unroll's trace cost grows O(d^3) per
+#: associative-scan level (measured 119 s trace+lower at d=6 vs 7.8 s at
+#: d=2).  Dims-to-front keeps n in the minor (lane) dim and the d's in
+#: leading/sublane dims: padding is only ceil(d/8)·8/d on ONE dim and the
+#: combine is O(d) traced ops (einsums + the unrolled pivot loop).
+DTF_MAX_D = int(__import__("os").environ.get("GAPLAC_SDE_DTF_MAX_D", "24"))
+
+#: also use dims-to-front on CPU (env GAPLAC_SDE_DTF_CPU) — default off
+#: (no tile padding to save); the parity tests opt in.
+DTF_ON_CPU = bool(int(__import__("os").environ.get("GAPLAC_SDE_DTF_CPU", "0")))
+
+
+def _dtf_active(d: int) -> bool:
+    if d <= SOA_MAX_D or d > DTF_MAX_D:
+        return False
+    return DTF_ON_CPU or jax.default_backend() != "cpu"
+
+
 def _soa_mat(A, d):
     """(n, d, d) -> row-major tuple-of-tuples of (n,) arrays."""
     return tuple(tuple(A[..., i, j] for j in range(d)) for i in range(d))
@@ -479,6 +501,125 @@ def _ss_smooth_soa(A, Q, H, y, R, obs=None):
     )
     suf = lax.associative_scan(_scombine_soa, elems, reverse=True)
     return suf[1], suf[2]
+
+
+# ---------------------------------------------------------------------------
+# Mid-d dims-to-front (DTF) fast path
+# ---------------------------------------------------------------------------
+#
+# The SoA unroll above is ideal for d <= 4 but its trace cost is O(d^3)
+# per associative-scan level (the combine is re-traced per halving level),
+# measured 119 s trace+lower for the d=6 SqExp value+grad vs 7.8 s at
+# d=2.  For SOA_MAX_D < d <= DTF_MAX_D the elements are instead stored
+# DIMS-TO-FRONT: matrices (d, d, n), vectors (d, 1, n) — n stays in the
+# minor (lane) dim, so TPU tiling pads only the second-minor dim to 8
+# (e.g. (6, 13, n) augmented solves pad 13->16, ~1.2x, vs the (n, d, d)
+# layout's 8/d-to-64x).  The combine algebra is identical to
+# _mcombine/_scombine with einsum contractions batched over trailing n:
+# O(d) traced ops (the unrolled pivot loop), O(1) einsums.
+
+
+def _dtf_mm(X, Y):
+    return jnp.einsum("ikn,kjn->ijn", X, Y)
+
+
+def _dtf_t(X):
+    return jnp.swapaxes(X, 0, 1)
+
+
+def _dtf_eye(d, dtype):
+    return jnp.eye(d, dtype=dtype)[:, :, None]
+
+
+def _dtf_solve(D, B):
+    """D⁻¹B for D (d, d, n), B (d, k, n) — the same unpivoted Gauss-Jordan
+    as ``solve_small`` (same conditioning argument) with rows on axis 0 and
+    columns on axis 1; the (d, d+k, n) augmented buffer keeps n minor."""
+    d = D.shape[0]
+    M = jnp.concatenate([D, B], axis=1)
+    for i in range(d):
+        piv = M[i:i + 1] / M[i:i + 1, i:i + 1]
+        M = M - M[:, i:i + 1] * piv
+        # restore the pivot row (eliminated itself to 0 above)
+        M = jnp.concatenate([M[:i], piv, M[i + 1:]], axis=0)
+    return M[:, d:]
+
+
+def _mcombine_dtf(e1, e2):
+    """_mcombine on dims-to-front elements (A, b, C, eta, J): matrices
+    (d, d, n), vectors (d, 1, n) — identical algebra."""
+    A1, b1, C1, eta1, J1 = e1
+    A2, b2, C2, eta2, J2 = e2
+    d = A1.shape[0]
+    I = _dtf_eye(d, A1.dtype)
+    D = I + _dtf_mm(C1, J2)
+    Dt = I + _dtf_mm(J2, C1)
+    bC = b1 + _dtf_mm(C1, eta2)
+    X = _dtf_solve(D, jnp.concatenate([A1, bC, C1], axis=1))
+    XA, Xb, XC = X[:, :d], X[:, d:d + 1], X[:, d + 1:]
+    A = _dtf_mm(A2, XA)
+    b = _dtf_mm(A2, Xb) + b2
+    C = _dtf_mm(_dtf_mm(A2, XC), _dtf_t(A2)) + C2
+    rhs = eta2 - _dtf_mm(J2, b1)
+    Y = _dtf_solve(Dt, jnp.concatenate([rhs, J2], axis=1))
+    A1t = _dtf_t(A1)
+    eta = _dtf_mm(A1t, Y[:, :1]) + eta1
+    J = _dtf_mm(_dtf_mm(A1t, Y[:, 1:]), A1) + J1
+    return A, b, C, eta, J
+
+
+def _dtf_steps(A, Q, H):
+    """Per-step (A, Q, H) in any layout -> dims-to-front (d, d, n) /
+    (d, n).  SoA-native input stacks its (n,) leaves (no padded buffer was
+    ever built); dense input transposes."""
+    if isinstance(A, tuple):
+        As = jnp.stack([jnp.stack(row) for row in A])
+        Qs = jnp.stack([jnp.stack(row) for row in Q])
+        Hs = jnp.stack(H)
+        return As, Qs, Hs
+    return (jnp.moveaxis(A, -3, -1), jnp.moveaxis(Q, -3, -1),
+            jnp.moveaxis(H, -2, -1))
+
+
+def _dtf_filter_elems(A, Q, H, y, R, obs):
+    """Filtering elements in the dims-to-front layout — the same gain-form
+    construction as _soa_filter_elems, as einsums over (d, ·, n)."""
+    As, Qs, Hs = _dtf_steps(A, Q, H)
+    d, n = Hs.shape
+    dtype = As.dtype
+    Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
+    QH = jnp.einsum("ikn,kn->in", Qs, Hs)
+    S = jnp.einsum("in,in->n", Hs, QH) + Rv
+    w = (jnp.ones((n,), dtype) if obs is None else jnp.asarray(obs, dtype))
+    K = QH * (w / S)                                   # (d, n)
+    ImKH = _dtf_eye(d, dtype) - K[:, None, :] * Hs[None, :, :]
+    eA = _dtf_mm(ImKH, As)
+    eC = _dtf_mm(ImKH, Qs)
+    HA = jnp.einsum("in,ijn->jn", Hs, As)
+    eJ = HA[:, None, :] * HA[None, :, :] * (w / S)
+    eb = (K * y)[:, None, :]
+    eeta = (HA * (w * y / S))[:, None, :]
+    return (eA, eb, eC, eeta, eJ), (As, Qs, Hs, Rv, S)
+
+
+def _ss_filter_dtf(A, Q, H, y, R, obs=None):
+    """Dims-to-front parallel Kalman filter: (m_f (d, n), P_f (d, d, n))
+    plus the DTF per-step model."""
+    elems, (As, Qs, Hs, Rv, _) = _dtf_filter_elems(A, Q, H, y, R, obs)
+    pre = lax.associative_scan(_mcombine_dtf, elems, axis=-1)
+    return pre[1][:, 0], pre[2], (As, Qs, Hs, Rv)
+
+
+def _ss_loglik_parts_dtf(A, Q, H, y, R):
+    m_f, P_f, (As, Qs, Hs, Rv) = _ss_filter_dtf(A, Q, H, y, R)
+    shift = lambda x: jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), x.dtype), x[..., :-1]], axis=-1)
+    m_pred = jnp.einsum("ikn,kn->in", As, shift(m_f))
+    P_pred = _dtf_mm(_dtf_mm(As, shift(P_f)), _dtf_t(As)) + Qs
+    mean = jnp.einsum("in,in->n", Hs, m_pred)
+    S = jnp.einsum("in,ijn,jn->n", Hs, P_pred, Hs) + Rv
+    r = y - mean
+    return jnp.sum(r * r / S), jnp.sum(jnp.log(S))
 
 
 # ---------------------------------------------------------------------------
@@ -1097,9 +1238,12 @@ def build_steps(
     )
     if resets is None:
         resets = (None,) * len(kinds)
+    _td = sum(block_dim(k) for k in kinds)
     if (layout == "auto"
             and all(_soa_emitter_ok(k) for k in kinds)
-            and _soa_active(sum(block_dim(k) for k in kinds))):
+            and (_soa_active(_td) or _dtf_active(_td))):
+        # tiny d consumes the SoA leaves directly; mid-d (DTF) stacks them
+        # to (d, d, n) — either way no (n, d, d) buffer is ever built
         # SoA-native build: callers on the loglik/filter/smoother paths opt
         # in with layout="auto"; consumers that need dense math call
         # densify_steps (or keep the default dense layout)
@@ -1138,9 +1282,12 @@ def ss_filter(A, Q, H, y, R, obs=None):
     (bool (n,)) masks out unobserved points (they contribute no update).
     Accepts SoA-native steps from ``build_steps(layout='auto')``."""
     n, d = _steps_nd(A)
-    if steps_are_soa(A) or _soa_active(d):
+    if (steps_are_soa(A) and d <= SOA_MAX_D) or _soa_active(d):
         m_f, P_f, _ = _ss_filter_soa(A, Q, H, y, R, obs=obs)
         return _soa_to_vec(m_f), _soa_to_mat(P_f)
+    # mid-d SoA-native input: densify — the dense scan is correct at any
+    # d, and unrolling the SoA combine above SOA_MAX_D explodes TRACE time
+    A, Q, H = densify_steps(A, Q, H)
     dtype = A.dtype
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
     QH = (Q @ H[..., None])[..., 0]                        # (n, d)
@@ -1170,9 +1317,10 @@ def ss_filter_cov(A, Q, H, R, obs=None):
     caller that needs P_f alone (ss_innovation_coeffs, i.e. every
     whitened-sde leapfrog) at ~2/3 of the full filter's op count."""
     n, d = _steps_nd(A)
-    if steps_are_soa(A) or _soa_active(d):
+    if (steps_are_soa(A) and d <= SOA_MAX_D) or _soa_active(d):
         P_f, _ = _ss_filter_cov_soa(A, Q, H, R, obs=obs)
         return _soa_to_mat(P_f)
+    A, Q, H = densify_steps(A, Q, H)
     dtype = A.dtype
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
     QH = (Q @ H[..., None])[..., 0]
@@ -1199,8 +1347,12 @@ def ss_loglik_parts(A, Q, H, y, R):
     state-space Laplace marginal (inference/laplace.py), which needs the
     quadratic form and the determinant separately."""
     n, d = _steps_nd(A)
-    if steps_are_soa(A) or _soa_active(d):
+    soa_in = steps_are_soa(A)
+    if (soa_in and d <= SOA_MAX_D) or _soa_active(d):
         return _ss_loglik_parts_soa(A, Q, H, y, R)
+    if soa_in or _dtf_active(d):
+        # mid-d: dims-to-front layout — O(d)-trace combines, n minor
+        return _ss_loglik_parts_dtf(A, Q, H, y, R)
     dtype = A.dtype
     Rv = jnp.broadcast_to(jnp.asarray(R, dtype), (n,))
     m_f, P_f = ss_filter(A, Q, H, y, R)
@@ -1247,9 +1399,10 @@ def ss_smooth(A, Q, H, y, R, obs=None):
         L_k = P_f_k − E_k (A_{k+1} P_f_k A_{k+1}ᵀ + Q_{k+1}) E_kᵀ
     composed by a REVERSE associative scan (m_s_k = E_k m_s_{k+1} + g_k)."""
     n, d = _steps_nd(A)
-    if steps_are_soa(A) or _soa_active(d):
+    if (steps_are_soa(A) and d <= SOA_MAX_D) or _soa_active(d):
         m_s, P_s = _ss_smooth_soa(A, Q, H, y, R, obs=obs)
         return _soa_to_vec(m_s), _soa_to_mat(P_s)
+    A, Q, H = densify_steps(A, Q, H)
     dtype = A.dtype
     m_f, P_f = ss_filter(A, Q, H, y, R, obs=obs)
     A1 = A[1:]                                             # transition k -> k+1
@@ -1292,6 +1445,8 @@ def ss_innovation_coeffs(A, Q, H, jitter):
     non-Gaussian path of src/liklihoods.jl at state-space cost).
     Returns (gains K (n,d), innovation variances S (n,))."""
     n, d = _steps_nd(A)
+    if steps_are_soa(A) and d > SOA_MAX_D:
+        A, Q, H = densify_steps(A, Q, H)
     if steps_are_soa(A) or _soa_active(d):
         P_f, (As, Qs, Hs, _) = _ss_filter_cov_soa(A, Q, H, jitter)
         P_prev = _soa_shift(P_f)
